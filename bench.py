@@ -1,0 +1,84 @@
+"""Benchmark: end-to-end speech generation throughput on one TPU chip.
+
+Measures the headline workload from BASELINE.md - batched code generation
+(the autoregressive hot loop) plus mel decoding and vocoding - and reports
+real-time factor at batch 8 against the reference's published RTF ~0.3 on an
+RTX 4090 (/root/reference/README.md:291).
+
+Audio math: 1 code step = 512 samples @ 24 kHz = 21.33 ms
+(config.py:75-80 hop 256 x dvae.py:281-287 2x interleave), so
+RTF = (batch * steps * 512 / 24000) / wall_seconds.
+
+Prints ONE JSON line.  Extra detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from chattts_tpu.config import Config
+    from chattts_tpu.core import Chat
+
+    BATCH = 8
+    STEPS = 384  # forced decode length (~8.2 s of audio per sequence)
+
+    cfg = Config()
+    chat = Chat(config=cfg)
+    chat.load(source="random", seed=0)
+    log(f"devices: {jax.devices()}")
+
+    text = ["This is a benchmark sentence for the speech system."] * BATCH
+
+    params = Chat.InferCodeParams(
+        max_new_token=STEPS, min_new_token=STEPS, manual_seed=3,
+        show_tqdm=False)
+
+    def run():
+        t0 = time.perf_counter()
+        result = next(chat._infer_code(text, False, True, params))
+        wavs = chat._decode_to_wavs(result, use_decoder=True)
+        wall = time.perf_counter() - t0
+        steps = max(r.shape[0] for r in result.ids)
+        return wall, steps, wavs
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    wall, steps, _ = run()
+    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    best = float("inf")
+    for i in range(3):
+        wall, steps, wavs = run()
+        log(f"run {i}: wall={wall:.3f}s steps={steps} "
+            f"steps/s={steps / wall:.1f} wav={wavs.shape}")
+        best = min(best, wall)
+
+    audio_seconds = BATCH * steps * 512 / 24000
+    rtf = audio_seconds / best
+    steps_per_sec = steps / best
+    baseline_rtf = 0.3  # reference README.md:291 (RTX 4090)
+    log(f"audio={audio_seconds:.2f}s wall={best:.3f}s "
+        f"rtf={rtf:.2f} steps/s={steps_per_sec:.1f} "
+        f"speech tokens/s/chip={steps_per_sec * BATCH * 4:.0f}")
+    print(json.dumps({
+        "metric": "rtf_batch8_e2e",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / baseline_rtf, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

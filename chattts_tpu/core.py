@@ -1,0 +1,417 @@
+"""Chat: the public orchestration facade.
+
+API-compatible rebuild of ``ChatTTS/core.py``'s ``Chat`` class: two-pass
+generation (refine_text -> infer_code), sentence splitting and split-batching,
+zero-shot voice cloning, streaming windows, speaker sampling, interrupt.
+
+TPU-native differences (all internal):
+
+* generation runs through the jitted engine (engine/generate.py) instead of a
+  per-token Python loop;
+* hidden->mel decoding and vocoding are jitted with bucketed time lengths;
+* without downloaded assets the models initialize from a seeded PRNG
+  (``load(source="random")``) so the full pipeline runs end-to-end for tests
+  and benchmarks - numerics then have no reference counterpart, but every
+  shape/semantic does.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import re
+from dataclasses import dataclass
+from typing import List, Literal, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import Config, load_spk_stat_string
+from .engine.generate import GenerateRequest, GenerationOutputs, Generator, Interrupt
+from .models import dvae as dvae_mod
+from .models import embed as embed_mod
+from .models import llama as llama_mod
+from .models import vocos as vocos_mod
+from .models.speaker import Speaker
+from .models.tokenizer import Tokenizer
+from .norm import Normalizer
+from .utils import io as io_utils
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Chat:
+    def __init__(self, logger: logging.Logger = logging.getLogger(__name__),
+                 config: Optional[Config] = None):
+        self.logger = logger
+        self.config = config or Config()
+        self.normalizer = Normalizer(logger=logger)
+        self.context = Interrupt()
+        self._loaded = False
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    def has_loaded(self, use_decoder=True) -> bool:
+        return self._loaded
+
+    def load(
+        self,
+        source: Literal["local", "custom", "random"] = "local",
+        custom_path: Optional[str] = None,
+        compile: bool = True,  # noqa: A002 - API parity; jit is always on
+        coef: Optional[str] = None,
+        seed: int = 0,
+    ) -> bool:
+        """Load weights from a ChatTTS asset tree, or seeded-random init.
+
+        ``source="local"/"custom"``: find the standard asset layout (env var
+        ``CHATTTS_ASSETS``, ``custom_path`` or cwd).  ``source="random"``:
+        initialize from a PRNG - every component is fully functional but
+        untrained (for development, tests, benchmarks).
+        """
+        assets = None
+        if source != "random":
+            assets = io_utils.find_assets_dir(custom_path)
+            if assets is None:
+                self.logger.warning(
+                    "no ChatTTS assets found; falling back to random init")
+        if assets is None:
+            self._load_random(seed=seed, coef=coef)
+        else:
+            self._load_assets(assets, coef=coef)
+        self._loaded = True
+        return True
+
+    def _load_random(self, seed: int, coef: Optional[str] = None):
+        cfg = self.config
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        coef_arr = None
+        if coef is not None:
+            from . import codecs
+
+            coef_arr = codecs.decode_coef(coef)
+        self.dvae_params = dvae_mod.init_dvae_params(k1, cfg.dvae, coef_arr)
+        dec_coef = np.asarray(self.dvae_params["coef"])
+        self.decoder_params = dvae_mod.init_decoder_params(k2, cfg.decoder, dec_coef)
+        self.vocos_params = vocos_mod.init_params(k3, cfg.vocos)
+        self.embed_params = embed_mod.init_params(k4, cfg.gpt)
+        self.gpt_params = llama_mod.init_params(k5, cfg.gpt)
+        self.tokenizer = Tokenizer(None, vocab_size=cfg.gpt.num_text_tokens)
+        self.speaker = Speaker(cfg.gpt.hidden_size, load_spk_stat_string())
+        self.coef = dvae_mod.coef_string(self.decoder_params)
+        self._init_runtime()
+
+    def _load_assets(self, assets_dir: str, coef: Optional[str] = None):
+        cfg = self.config
+        p = cfg.path
+
+        def path(rel):
+            return os.path.join(assets_dir, rel)
+
+        # DVAE
+        state = io_utils.load_safetensors(path(p.dvae_ckpt_path))
+        self.dvae_params = dvae_mod.init_dvae_params(
+            jax.random.PRNGKey(0), cfg.dvae)
+        io_utils.apply_key_map(
+            self.dvae_params, state, dvae_mod.dvae_torch_key_map(cfg.dvae))
+        if coef is not None:
+            from . import codecs
+
+            self.dvae_params["coef"] = jnp.asarray(codecs.decode_coef(coef))
+        # Decoder (coef chains from DVAE as in core.py:321-376)
+        state = io_utils.load_safetensors(path(p.decoder_ckpt_path))
+        self.decoder_params = dvae_mod.init_decoder_params(
+            jax.random.PRNGKey(0), cfg.decoder)
+        io_utils.apply_key_map(
+            self.decoder_params, state,
+            dvae_mod.decoder_torch_key_map(cfg.decoder))
+        # Vocos
+        state = io_utils.load_safetensors(path(p.vocos_ckpt_path))
+        self.vocos_params = vocos_mod.init_params(jax.random.PRNGKey(0), cfg.vocos)
+        io_utils.apply_key_map(
+            self.vocos_params, state, vocos_mod.torch_key_map(cfg.vocos))
+        # Embed (weight-normed heads folded)
+        state = io_utils.fold_weight_norm(
+            io_utils.load_safetensors(path(p.embed_path)))
+        self.embed_params = embed_mod.init_params(jax.random.PRNGKey(0), cfg.gpt)
+        embed_mod.load_from_state(
+            self.embed_params, state, cfg.gpt, lambda a: jnp.asarray(a))
+        # GPT (HF dir)
+        gpt_file = path(os.path.join(p.gpt_ckpt_path, "model.safetensors"))
+        state = io_utils.load_safetensors(gpt_file)
+        state = {k.removeprefix("model."): v for k, v in state.items()}
+        self.gpt_params = llama_mod.init_params(jax.random.PRNGKey(0), cfg.gpt)
+        io_utils.apply_key_map(
+            self.gpt_params, state, llama_mod.torch_key_map(cfg.gpt),
+            to_jnp=lambda a: jnp.asarray(a, jnp.bfloat16))
+        self.tokenizer = Tokenizer(path(p.tokenizer_path))
+        self.speaker = Speaker(cfg.gpt.hidden_size, load_spk_stat_string())
+        self.coef = dvae_mod.coef_string(self.decoder_params)
+        self._init_runtime()
+
+    def _init_runtime(self):
+        cfg = self.config
+        self.generator = Generator(
+            cfg.gpt, self.gpt_params, self.embed_params,
+            prefill_bucket=cfg.runtime.prefill_bucket)
+        self._decode_hidden_jit = jax.jit(
+            functools.partial(dvae_mod.decode_from_hidden, cfg=cfg.decoder))
+        self._decode_indices_jit = jax.jit(
+            functools.partial(dvae_mod.decode_from_indices, cfg=cfg.dvae))
+        self._vocos_jit = jax.jit(
+            functools.partial(vocos_mod.decode, cfg=cfg.vocos))
+        self._encode_audio_jit = jax.jit(
+            functools.partial(dvae_mod.encode_audio, cfg=cfg.dvae,
+                              mel_cfg=cfg.vocos.mel))
+
+    def unload(self):
+        logger = self.logger
+        for attr in ("dvae_params", "decoder_params", "vocos_params",
+                     "embed_params", "gpt_params", "generator", "tokenizer",
+                     "speaker"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        self.normalizer.destroy()
+        self.__init__(logger, self.config)
+
+    def interrupt(self):
+        self.context.set(True)
+
+    # ------------------------------------------------------------------
+    # Speakers
+    # ------------------------------------------------------------------
+
+    def sample_random_speaker(self) -> str:
+        return self.speaker.sample_random()
+
+    def sample_audio_speaker(self, wav: np.ndarray) -> str:
+        """Zero-shot clone: waveform -> spk_smp code string (core.py:179-180)."""
+        wav = np.asarray(wav, np.float32).reshape(1, -1)
+        ind = np.asarray(self._encode_audio_jit(self.dvae_params,
+                                                jnp.asarray(wav)))
+        return Speaker.encode_prompt(ind[0].T)  # (num_vq, T)
+
+    # ------------------------------------------------------------------
+    # Inference params (API parity with core.py:182-206)
+    # ------------------------------------------------------------------
+
+    @dataclass(repr=False, eq=False)
+    class RefineTextParams:
+        prompt: str = ""
+        top_P: float = 0.7
+        top_K: int = 20
+        temperature: float = 0.7
+        repetition_penalty: float = 1.0
+        max_new_token: int = 384
+        min_new_token: int = 0
+        show_tqdm: bool = True
+        ensure_non_empty: bool = True
+        manual_seed: Optional[int] = None
+
+    @dataclass(repr=False, eq=False)
+    class InferCodeParams(RefineTextParams):
+        prompt: str = "[speed_5]"
+        spk_emb: Optional[str] = None
+        spk_smp: Optional[str] = None
+        txt_smp: Optional[str] = None
+        temperature: float = 0.3
+        repetition_penalty: float = 1.05
+        max_new_token: int = 2048
+        stream_batch: int = 24
+        stream_speed: int = 12000
+        pass_first_n_batches: int = 2
+
+    # ------------------------------------------------------------------
+    # Inference
+    # ------------------------------------------------------------------
+
+    def infer(
+        self,
+        text: Union[str, List[str]],
+        stream: bool = False,
+        lang: Optional[str] = None,
+        skip_refine_text: bool = False,
+        refine_text_only: bool = False,
+        use_decoder: bool = True,
+        do_text_normalization: bool = True,
+        do_homophone_replacement: bool = True,
+        split_text: bool = True,
+        max_split_batch: int = 4,
+        params_refine_text: Optional["Chat.RefineTextParams"] = None,
+        params_infer_code: Optional["Chat.InferCodeParams"] = None,
+    ):
+        params_refine_text = params_refine_text or Chat.RefineTextParams()
+        params_infer_code = params_infer_code or Chat.InferCodeParams()
+        self.context.set(False)
+
+        if split_text and isinstance(text, str):
+            if "\n" in text:
+                text = text.split("\n")
+            else:
+                text = [t for t in re.split(r"(?<=。)|(?<=\.\s)", text) if t]
+            self.logger.info("split text into %d parts", len(text))
+        if isinstance(text, str):
+            text = [text]
+        if len(text) == 0:
+            return []
+
+        res_gen = self._infer(
+            text, stream, lang, skip_refine_text, refine_text_only,
+            use_decoder, do_text_normalization, do_homophone_replacement,
+            split_text, max_split_batch, params_refine_text, params_infer_code)
+        if stream:
+            return res_gen
+        if refine_text_only:
+            return next(res_gen)
+        stripped = []
+        thr = np.float32(1e-5)
+        for wavs in res_gen:
+            for wav in wavs:
+                stripped.append(wav[np.abs(wav) > thr])
+        if split_text:
+            return [np.concatenate(stripped) if stripped else
+                    np.array([], np.float32)]
+        return stripped
+
+    def _infer(
+        self, text, stream, lang, skip_refine_text, refine_text_only,
+        use_decoder, do_text_normalization, do_homophone_replacement,
+        split_text, max_split_batch, params_refine_text, params_infer_code,
+    ):
+        text = [
+            self.normalizer(t, do_text_normalization,
+                            do_homophone_replacement, lang)
+            for t in text
+        ]
+        self.logger.debug("normed texts %s", text)
+
+        if not skip_refine_text:
+            refined = self._refine_text(text, params_refine_text)
+            text_tokens = [
+                t[t < self.tokenizer.break_0_ids] for t in refined.ids]
+            text = self.tokenizer.decode(text_tokens)
+            refined.destroy()
+            if refine_text_only:
+                yield "\n".join(text) if split_text else text
+                return
+
+        # auto voice clone: synth segment 0 once, reuse its codes as prompt
+        # (core.py:435-453)
+        if split_text and len(text) > 1 and params_infer_code.spk_smp is None:
+            refer_text = text[0]
+            result = next(self._infer_code(
+                [refer_text], False, use_decoder, params_infer_code))
+            wavs = self._decode_to_wavs(result, use_decoder)
+            result.destroy()
+            if len(wavs) and wavs[0].size:
+                params_infer_code.spk_smp = self.sample_audio_speaker(wavs[0])
+                params_infer_code.txt_smp = refer_text
+
+        length = 0
+        pass_batch_count = 0
+        if split_text:
+            batches = [text[i : i + max_split_batch]
+                       for i in range(0, len(text), max_split_batch)]
+        else:
+            batches = [text]
+        for batch in batches:
+            wavs = np.zeros((len(batch), 0), np.float32)
+            for result in self._infer_code(
+                    batch, stream, use_decoder, params_infer_code):
+                wavs = self._decode_to_wavs(result, use_decoder)
+                result.destroy()
+                if stream:
+                    pass_batch_count += 1
+                    if pass_batch_count <= params_infer_code.pass_first_n_batches:
+                        continue
+                    a = length
+                    b = min(a + params_infer_code.stream_speed, wavs.shape[1])
+                    length = b
+                    yield wavs[:, a:b]
+                else:
+                    yield wavs
+            if stream:
+                new_wavs = wavs[:, length:]
+                keep = np.sum(np.abs(new_wavs) > 1e-5, axis=0) > 0
+                yield new_wavs[:, keep]
+                length = 0
+                pass_batch_count = 0
+
+    # -- decoding ------------------------------------------------------
+
+    def _decode_to_wavs(self, result: GenerationOutputs, use_decoder: bool
+                        ) -> np.ndarray:
+        items = result.hiddens if use_decoder else result.ids
+        if not len(items) or max(x.shape[0] for x in items) == 0:
+            return np.zeros((len(items), 0), np.float32)
+        cfg = self.config
+        Tmax = max(x.shape[0] for x in items)
+        Tpad = _round_up(Tmax, cfg.runtime.decode_bucket // 4 or 1)
+        if use_decoder:
+            batch = np.zeros((len(items), Tpad, cfg.gpt.hidden_size), np.float32)
+            for i, h in enumerate(items):
+                batch[i, : h.shape[0]] = h
+            mel = self._decode_hidden_jit(self.decoder_params, jnp.asarray(batch))
+        else:
+            batch = np.zeros((len(items), Tpad, cfg.gpt.num_vq), np.int32)
+            for i, ids in enumerate(items):
+                batch[i, : ids.shape[0]] = ids
+            mel = self._decode_indices_jit(self.dvae_params, jnp.asarray(batch))
+        wav = self._vocos_jit(self.vocos_params, mel)
+        return np.asarray(wav)
+
+    # -- generation passes ---------------------------------------------
+
+    def _refine_text(self, text: List[str],
+                     params: "Chat.RefineTextParams") -> GenerationOutputs:
+        cfg = self.config.gpt
+        prompts = Speaker.decorate_text_prompts(text, params.prompt)
+        ids, attn, tmask = self.tokenizer.encode(prompts, cfg.num_vq)
+        req = GenerateRequest(
+            ids=ids, attn_mask=attn, text_mask=tmask, infer_text=True,
+            eos_token=self.tokenizer.eos_token,
+            temperature=np.asarray([params.temperature], np.float32),
+            top_p=params.top_P, top_k=params.top_K,
+            repetition_penalty=params.repetition_penalty,
+            max_new=params.max_new_token, min_new=params.min_new_token,
+            seed=params.manual_seed, ensure_non_empty=params.ensure_non_empty,
+        )
+        return next(self.generator.generate(req, self.context))
+
+    def _infer_code(self, text: List[str], stream: bool, return_hidden: bool,
+                    params: "Chat.InferCodeParams"):
+        cfg = self.config.gpt
+        if isinstance(params.temperature, list):
+            temperature = np.asarray(params.temperature, np.float32)
+        else:
+            temperature = np.full((cfg.num_vq,), params.temperature, np.float32)
+
+        prompts = Speaker.decorate_code_prompts(
+            list(text), params.prompt, params.txt_smp, params.spk_emb)
+        code_prompt = (Speaker.decode_prompt(params.spk_smp)
+                       if params.spk_smp is not None else None)
+        ids, attn, tmask = self.tokenizer.encode(
+            prompts, cfg.num_vq, prompt=code_prompt)
+
+        req = GenerateRequest(
+            ids=ids, attn_mask=attn, text_mask=tmask, infer_text=False,
+            eos_token=cfg.num_audio_tokens - 1,
+            temperature=temperature,
+            top_p=params.top_P, top_k=params.top_K,
+            repetition_penalty=params.repetition_penalty,
+            max_new=params.max_new_token, min_new=params.min_new_token,
+            spk_vec=(Speaker.decode(params.spk_emb)
+                     if params.spk_emb is not None else None),
+            spk_emb_ids=self.tokenizer.spk_emb_ids,
+            seed=params.manual_seed, ensure_non_empty=params.ensure_non_empty,
+            stream_batch=params.stream_batch if stream else 0,
+            return_hidden=return_hidden,
+        )
+        return self.generator.generate(req, self.context)

@@ -1,0 +1,316 @@
+"""Jitted autoregressive generation engine.
+
+TPU-native replacement for the reference's eager per-token Python loop
+(``ChatTTS/model/gpt.py:315-618``).  Design differences, deliberately:
+
+* the whole decode loop runs inside one ``jax.jit`` as a ``lax.while_loop``
+  over a static-shape state (preallocated token/hidden buffers, dense KV
+  cache) - zero host sync per token, vs. the reference's per-step
+  ``.to(device, float32)`` logits round-trip (gpt.py:430-432);
+* sampling (temperature / repetition penalty / top-p / top-k / EOS
+  suppression / categorical draw) is fused into the step (ops/sampling.py);
+* prompt lengths are bucketed to multiples of ``prefill_bucket`` so the
+  number of distinct compiled shapes stays small;
+* streaming runs the same compiled loop in ``stream_batch``-step chunks with
+  the state (including the KV cache) donated between dispatches, giving the
+  reference's yield cadence (gpt.py:579-589) without leaving the device.
+
+Both generation modes are covered: ``infer_text`` (refine-text pass, text
+head, scalar temperature) and code generation (4 codebook streams, per-stream
+temperature, any-codebook EOS, hidden-state capture for the decoder path).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from typing import NamedTuple
+
+from ..config import GPTConfig
+from ..models import embed as embed_mod
+from ..models import llama
+from ..models.llama import KVCache
+from ..ops import sampling
+
+REP_WINDOW = 16  # trailing-token window of the repetition penalty (processors.py:54)
+
+
+class GenState(NamedTuple):
+    cache: KVCache
+    ids: jnp.ndarray        # (B, Tbuf, num_vq) i32 token buffer
+    key_valid: jnp.ndarray  # (B, Tbuf) bool - non-padding cache slots
+    hidden: jnp.ndarray     # (B, D) f32 - produces the next token's logits
+    cur: jnp.ndarray        # () i32 - write slot of the next sampled token
+    pos_next: jnp.ndarray   # (B,) i32 - rope position of the next token
+    finish: jnp.ndarray     # (B,) bool
+    end_idx: jnp.ndarray    # (B,) i32 - tokens generated before EOS
+    hiddens: jnp.ndarray    # (B, max_new, D) f32
+    step: jnp.ndarray       # () i32
+    rng: jax.Array
+
+
+@dataclass
+class GenerationOutputs:
+    """Host-side results; mirrors GPT.GenerationOutputs (gpt.py:292-304)."""
+
+    ids: List[np.ndarray]       # per-seq (Ti,) text ids or (Ti, num_vq) codes
+    hiddens: List[np.ndarray]   # per-seq (Ti, D) or empty
+    finished: np.ndarray        # (B,) bool
+
+    def destroy(self):  # API parity; GC handles the rest
+        self.ids = []
+        self.hiddens = []
+
+
+class Interrupt:
+    """Cooperative cancel flag, polled between decode chunks.
+
+    Mirrors ``GPT.Context`` (gpt.py:103-111); host-side because the jitted
+    loop cannot observe Python state mid-flight.
+    """
+
+    def __init__(self):
+        self._flag = False
+
+    def set(self, v: bool):
+        self._flag = v
+
+    def get(self) -> bool:
+        return self._flag
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=32)
+def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
+               apply_spk: bool):
+    """Compile-cached (prefill_fn, chunk_fn) for one shape bucket."""
+    num_vq = cfg.num_vq
+    Tbuf = T0 + max_new
+    eos_token = (cfg.num_audio_tokens - 1) if not infer_text else None
+    max_penalized = (cfg.num_audio_tokens - 1) if not infer_text else cfg.num_text_tokens
+
+    def prefill_fn(pg, pe, ids0, attn_mask, text_mask, spk_vec, spk_emb_ids, rng):
+        emb0 = embed_mod.embed_prompt(pe, ids0, text_mask)
+        if apply_spk:
+            n = spk_vec / jnp.maximum(
+                jnp.linalg.norm(spk_vec), 1e-12)  # F.normalize(speaker.py:36-42)
+            cond = (ids0[..., 0] == spk_emb_ids)[..., None]
+            emb0 = jnp.where(cond, n[None, None, :].astype(emb0.dtype), emb0)
+        positions = jnp.maximum(jnp.cumsum(attn_mask.astype(jnp.int32), axis=1) - 1, 0)
+        cache = KVCache.create(cfg, B, Tbuf)
+        hidden_all, cache = llama.prefill(pg, emb0, attn_mask, positions, cache, cfg)
+        hidden = hidden_all[:, -1]
+        key_valid = jnp.pad(attn_mask, ((0, 0), (0, max_new)))
+        return GenState(
+            cache=cache,
+            ids=jnp.pad(ids0, ((0, 0), (0, max_new), (0, 0))),
+            key_valid=key_valid,
+            hidden=hidden,
+            cur=jnp.int32(T0),
+            pos_next=attn_mask.astype(jnp.int32).sum(1),
+            finish=jnp.zeros((B,), jnp.bool_),
+            end_idx=jnp.zeros((B,), jnp.int32),
+            hiddens=jnp.zeros((B, max_new, cfg.hidden_size), jnp.float32),
+            step=jnp.int32(0),
+            rng=rng,
+        )
+
+    def step_body(carry):
+        st, sp, eos_text = carry
+        rng, sub = jax.random.split(st.rng)
+        eos = eos_token if eos_token is not None else eos_text
+
+        if infer_text:
+            logits = embed_mod.head_text(pe_ref[0], st.hidden)  # (B, V)
+        else:
+            logits = embed_mod.head_code(pe_ref[0], st.hidden).reshape(
+                B * num_vq, cfg.num_audio_tokens)
+
+        # trailing-16 generated-token window (prompt tokens masked out)
+        start = jnp.clip(st.cur - REP_WINDOW, 0, Tbuf - REP_WINDOW)
+        win = lax.dynamic_slice(st.ids, (0, start, 0), (B, REP_WINDOW, num_vq))
+        wpos = start + jnp.arange(REP_WINDOW)
+        wmask = (wpos >= T0) & (wpos < st.cur)  # (W,)
+        if infer_text:
+            win_rows = win[:, :, 0]
+            wmask_rows = jnp.broadcast_to(wmask[None], (B, REP_WINDOW))
+        else:
+            win_rows = win.transpose(0, 2, 1).reshape(B * num_vq, REP_WINDOW)
+            wmask_rows = jnp.broadcast_to(wmask[None], (B * num_vq, REP_WINDOW))
+
+        ids_next = sampling.sample(
+            sub, logits, sp, win_rows, wmask_rows, st.step, eos, max_penalized)
+        if infer_text:
+            token = jnp.broadcast_to(ids_next[:, None], (B, num_vq))
+            eos_hit = ids_next == eos
+        else:
+            token = ids_next.reshape(B, num_vq)
+            eos_hit = jnp.any(token == eos, axis=-1)
+
+        finish = st.finish | eos_hit
+        ids = lax.dynamic_update_slice(st.ids, token[:, None, :], (0, st.cur, 0))
+        key_valid = st.key_valid.at[:, st.cur].set(True)
+        hiddens = lax.dynamic_update_slice(
+            st.hiddens, st.hidden[:, None, :], (0, st.step, 0))
+        end_idx = st.end_idx + (~finish).astype(jnp.int32)
+
+        emb = (embed_mod.embed_text_step(pe_ref[0], token[:, 0]) if infer_text
+               else embed_mod.embed_code_step(pe_ref[0], token))
+        hidden, cache = llama.decode_step(
+            pg_ref[0], emb, st.cache, st.cur, key_valid, st.pos_next, cfg)
+        return (
+            GenState(cache, ids, key_valid, hidden, st.cur + 1, st.pos_next + 1,
+                     finish, end_idx, hiddens, st.step + 1, rng),
+            sp, eos_text,
+        )
+
+    # closure cells filled inside chunk_fn (params enter through jit args)
+    pg_ref = [None]
+    pe_ref = [None]
+
+    def chunk_fn(pg, pe, st: GenState, sp: sampling.SamplingParams,
+                 step_end: jnp.ndarray, eos_text: jnp.ndarray) -> GenState:
+        pg_ref[0] = pg
+        pe_ref[0] = pe
+
+        def cond(carry):
+            s = carry[0]
+            return (s.step < step_end) & ~jnp.all(s.finish)
+
+        st, _, _ = lax.while_loop(cond, step_body, (st, sp, eos_text))
+        return st
+
+    prefill_jit = jax.jit(prefill_fn)
+    chunk_jit = jax.jit(chunk_fn, donate_argnums=(2,))
+    return prefill_jit, chunk_jit
+
+
+@dataclass
+class GenerateRequest:
+    """Host-side inputs for one generation call."""
+
+    ids: np.ndarray          # (B, T0, num_vq) int32, left-padded
+    attn_mask: np.ndarray    # (B, T0) bool
+    text_mask: np.ndarray    # (B, T0) bool
+    infer_text: bool
+    eos_token: int           # text eos id (code path uses num_audio_tokens-1)
+    temperature: np.ndarray  # (num_vq,) or (1,)
+    top_p: float = 0.7
+    top_k: int = 20
+    repetition_penalty: float = 1.0
+    max_new: int = 2048
+    min_new: int = 0
+    spk_vec: Optional[np.ndarray] = None  # (D,) raw speaker embedding
+    spk_emb_ids: int = 0
+    seed: Optional[int] = None
+    ensure_non_empty: bool = True
+    stream_batch: int = 0    # >0: yield partial outputs every N steps
+    return_hidden: bool = False
+
+
+class Generator:
+    """Drives the jitted loop: bucketing, chunking, retry, output trimming."""
+
+    def __init__(self, cfg: GPTConfig, gpt_params: dict, embed_params: dict,
+                 prefill_bucket: int = 32):
+        self.cfg = cfg
+        self.gpt_params = gpt_params
+        self.embed_params = embed_params
+        self.prefill_bucket = prefill_bucket
+        self._rng_counter = 0
+
+    def _pad_prompt(self, req: GenerateRequest):
+        """Left-extend prompts to the bucketed length (padding stays left)."""
+        B, T0, num_vq = req.ids.shape
+        Tpad = max(_round_up(T0, self.prefill_bucket), self.prefill_bucket)
+        if Tpad == T0:
+            return req.ids, req.attn_mask, req.text_mask, T0
+        d = Tpad - T0
+        ids = np.pad(req.ids, ((0, 0), (d, 0), (0, 0)))
+        attn = np.pad(req.attn_mask, ((0, 0), (d, 0)))
+        tmask = np.pad(req.text_mask, ((0, 0), (d, 0)))
+        return ids, attn, tmask, Tpad
+
+    def _next_seed(self, req: GenerateRequest, attempt: int) -> jax.Array:
+        if req.seed is not None:
+            return jax.random.PRNGKey(req.seed)
+        self._rng_counter += 1
+        seed = np.random.SeedSequence(
+            [self._rng_counter, attempt]).generate_state(1)[0]
+        return jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
+
+    def generate(self, req: GenerateRequest, context: Optional[Interrupt] = None):
+        """Generator yielding GenerationOutputs (partials if streaming)."""
+        context = context or Interrupt()
+        max_attempts = 4 if (req.ensure_non_empty and req.seed is None) else 1
+        for attempt in range(max_attempts):
+            st = yield from self._run_once(req, context, attempt)
+            empty = np.asarray((st.end_idx == 0) & st.finish)
+            if not empty.any() or attempt == max_attempts - 1 or context.get():
+                yield self._materialize(req, st)
+                return
+            # reference regenerates on unexpected immediate EOS (gpt.py:527-570)
+
+    def _run_once(self, req: GenerateRequest, context: Interrupt, attempt: int):
+        ids, attn, tmask, T0 = self._pad_prompt(req)
+        B = ids.shape[0]
+        apply_spk = req.spk_vec is not None
+        prefill_jit, chunk_jit = _build_fns(
+            self.cfg, req.infer_text, B, T0, req.max_new, apply_spk)
+
+        spk_vec = (jnp.asarray(req.spk_vec, jnp.float32) if apply_spk
+                   else jnp.zeros((self.cfg.hidden_size,), jnp.float32))
+        st = prefill_jit(
+            self.gpt_params, self.embed_params,
+            jnp.asarray(ids, jnp.int32), jnp.asarray(attn, jnp.bool_),
+            jnp.asarray(tmask, jnp.bool_), spk_vec,
+            jnp.int32(req.spk_emb_ids), self._next_seed(req, attempt))
+
+        sp = sampling.SamplingParams(
+            temperature=jnp.asarray(req.temperature, jnp.float32),
+            top_p=jnp.float32(req.top_p),
+            top_k=jnp.int32(req.top_k),
+            repetition_penalty=jnp.float32(req.repetition_penalty),
+            min_new=jnp.int32(req.min_new),
+        )
+        eos_text = jnp.int32(req.eos_token)
+        chunk = req.stream_batch if req.stream_batch > 0 else req.max_new
+        done = 0
+        while done < req.max_new:
+            step_end = jnp.int32(min(done + chunk, req.max_new))
+            st = chunk_jit(self.gpt_params, self.embed_params, st, sp,
+                           step_end, eos_text)
+            done = int(st.step)  # syncs once per chunk
+            finished = bool(jnp.all(st.finish))
+            if req.stream_batch > 0 and not finished and done < req.max_new:
+                yield self._materialize(req, st, partial=True)
+            if finished:
+                break
+            if context.get():
+                break
+        return st
+
+    def _materialize(self, req: GenerateRequest, st: GenState,
+                     partial: bool = False) -> GenerationOutputs:
+        T0 = st.ids.shape[1] - st.hiddens.shape[1]
+        ids_np = np.asarray(st.ids)
+        end = np.asarray(st.end_idx)
+        hid_np = np.asarray(st.hiddens) if req.return_hidden else None
+        out_ids, out_hid = [], []
+        for b in range(ids_np.shape[0]):
+            n = int(end[b])
+            seq = ids_np[b, T0 : T0 + n]
+            out_ids.append(seq[:, 0].copy() if req.infer_text else seq.copy())
+            if hid_np is not None:
+                out_hid.append(hid_np[b, :n].copy())
+        return GenerationOutputs(
+            ids=out_ids, hiddens=out_hid, finished=np.asarray(st.finish))

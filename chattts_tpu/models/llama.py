@@ -1,0 +1,240 @@
+"""Llama-architecture decoder, TPU-native (functional JAX).
+
+The reference wraps HF ``LlamaModel`` (``ChatTTS/model/gpt.py:75-78``; config
+``ChatTTS/config/config.py:51-63``: hidden 768, 20 layers, 12 heads, MHA).  We
+re-express it as pure functions over a parameter pytree with two entry points:
+
+* :func:`prefill` - batched full-sequence forward with a causal+padding mask,
+  writing the KV cache at positions [0, T0);
+* :func:`decode_step` - single-token forward against a static-shape KV cache
+  (dynamic_update_slice write, masked full-length attention read).  The cache
+  is (L, B, Tmax, H, Dh) so batch shards over the `dp` mesh axis and heads
+  over `tp`; XLA inserts the all-reduces implied by the head/FFN shardings.
+
+Weights live in (in, out) layout so every projection is a plain MXU matmul in
+bfloat16 with f32 accumulation; RMSNorm runs in f32 like the HF reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import GPTConfig
+
+# additive attention-mask value: large-finite so fully-masked softmax rows
+# stay NaN-free (see prefill)
+_MASK_VALUE = -1e9
+
+
+def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.bfloat16) -> dict:
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    HD = cfg.num_attention_heads * cfg.head_dim
+
+    def lin(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    layers = []
+    for lk in jax.random.split(key, cfg.num_hidden_layers):
+        ks = jax.random.split(lk, 7)
+        layers.append(
+            {
+                "attn": {
+                    "wq": lin(ks[0], (D, HD)),
+                    "wk": lin(ks[1], (D, HD)),
+                    "wv": lin(ks[2], (D, HD)),
+                    "wo": lin(ks[3], (HD, D)),
+                },
+                "mlp": {
+                    "gate": lin(ks[4], (D, I)),
+                    "up": lin(ks[5], (D, I)),
+                    "down": lin(ks[6], (I, D)),
+                },
+                "ln1": jnp.ones((D,), jnp.float32),
+                "ln2": jnp.ones((D,), jnp.float32),
+            }
+        )
+    return {"layers": layers, "norm": jnp.ones((D,), jnp.float32)}
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def rope_tables(cfg: GPTConfig) -> tuple[np.ndarray, np.ndarray]:
+    """cos/sin tables (max_pos, head_dim), HF half-rotation layout."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    t = np.arange(cfg.max_position_embeddings, dtype=np.float64)
+    freqs = np.outer(t, inv_freq)  # (T, d/2)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, T, H, Dh); cos/sin: (B, T, Dh) or (T, Dh)."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return (x * cos + _rotate_half(x) * sin).astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, Tmax, H, Dh)
+    v: jnp.ndarray  # (L, B, Tmax, H, Dh)
+
+    @staticmethod
+    def create(cfg: GPTConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+               ) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_attention_heads, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return (jax.nn.silu(x @ p["gate"]) * (x @ p["up"])) @ p["down"]
+
+
+def _split_heads(x: jnp.ndarray, H: int) -> jnp.ndarray:
+    B, T, _ = x.shape
+    return x.reshape(B, T, H, -1)
+
+
+def prefill(
+    params: dict,
+    emb: jnp.ndarray,           # (B, T0, D) input embeddings
+    attn_mask: jnp.ndarray,     # (B, T0) bool, False at (left) padding
+    positions: jnp.ndarray,     # (B, T0) int32 rope positions
+    cache: KVCache,
+    cfg: GPTConfig,
+    dtype=jnp.bfloat16,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Full-sequence forward; returns (hidden (B, T0, D) f32, updated cache)."""
+    H, Dh, eps = cfg.num_attention_heads, cfg.head_dim, cfg.rms_norm_eps
+    cos_t, sin_t = rope_tables(cfg)
+    cos = jnp.asarray(cos_t)[positions]  # (B, T0, Dh)
+    sin = jnp.asarray(sin_t)[positions]
+
+    B, T0, _ = emb.shape
+    # causal + padding mask: query i attends key j iff j <= i and mask[j].
+    # Large-finite instead of -inf: queries at (left-)pad positions have no
+    # visible keys, and softmax over an all--inf row is NaN, which would
+    # poison the KV cache through the residual stream (HF masks the same way).
+    causal = jnp.tril(jnp.ones((T0, T0), jnp.bool_))
+    bias = jnp.where(causal[None] & attn_mask[:, None, :], 0.0, _MASK_VALUE)
+    bias = bias[:, None]  # (B, 1, T0, T0)
+
+    x = emb.astype(dtype)
+    ks, vs = [], []
+    for lp in params["layers"]:
+        h = rms_norm(x, lp["ln1"], eps)
+        q = apply_rope(_split_heads(h @ lp["attn"]["wq"], H), cos, sin)
+        k = apply_rope(_split_heads(h @ lp["attn"]["wk"], H), cos, sin)
+        v = _split_heads(h @ lp["attn"]["wv"], H)
+        ks.append(k)
+        vs.append(v)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(Dh) + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        x = x + o.reshape(B, T0, -1) @ lp["attn"]["wo"]
+        h = rms_norm(x, lp["ln2"], eps)
+        x = x + _mlp(lp["mlp"], h)
+
+    hidden = rms_norm(x, params["norm"], eps).astype(jnp.float32)
+    new_cache = KVCache(
+        lax.dynamic_update_slice(
+            cache.k, jnp.stack(ks).astype(cache.k.dtype), (0, 0, 0, 0, 0)),
+        lax.dynamic_update_slice(
+            cache.v, jnp.stack(vs).astype(cache.v.dtype), (0, 0, 0, 0, 0)),
+    )
+    return hidden, new_cache
+
+
+def decode_step(
+    params: dict,
+    emb: jnp.ndarray,        # (B, D) current-token embedding
+    cache: KVCache,
+    cur: jnp.ndarray,        # scalar int32: write position (== current length)
+    key_valid: jnp.ndarray,  # (B, Tmax) bool: which cache slots are readable
+    positions: jnp.ndarray,  # (B,) int32 rope position of the current token
+    cfg: GPTConfig,
+    dtype=jnp.bfloat16,
+) -> tuple[jnp.ndarray, KVCache]:
+    """One AR step; returns (hidden (B, D) f32, updated cache)."""
+    H, Dh, eps = cfg.num_attention_heads, cfg.head_dim, cfg.rms_norm_eps
+    cos_t, sin_t = rope_tables(cfg)
+    cos = jnp.asarray(cos_t)[positions][:, None, :]  # (B, 1, Dh)
+    sin = jnp.asarray(sin_t)[positions][:, None, :]
+
+    B = emb.shape[0]
+    Tmax = cache.k.shape[2]
+    # keys at slot >= cur+1 are future/garbage; key_valid kills left-padding
+    slot_ids = lax.broadcasted_iota(jnp.int32, (Tmax,), 0)
+    readable = key_valid & (slot_ids[None, :] <= cur)  # current token included
+    bias = jnp.where(readable, 0.0, _MASK_VALUE)[:, None, None, :]  # (B,1,1,T)
+
+    x = emb[:, None, :].astype(dtype)  # (B, 1, D)
+    k_new, v_new = [], []
+    for li, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["ln1"], eps)
+        q = apply_rope(_split_heads(h @ lp["attn"]["wq"], H), cos, sin)
+        k = apply_rope(_split_heads(h @ lp["attn"]["wk"], H), cos, sin)
+        v = _split_heads(h @ lp["attn"]["wv"], H)
+        k_new.append(k)
+        v_new.append(v)
+        k_all = lax.dynamic_update_slice(
+            cache.k[li], k.astype(cache.k.dtype), (0, cur, 0, 0))
+        v_all = lax.dynamic_update_slice(
+            cache.v[li], v.astype(cache.v.dtype), (0, cur, 0, 0))
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(dtype),
+                            preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(Dh) + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all.astype(dtype))
+        x = x + o.reshape(B, 1, -1) @ lp["attn"]["wo"]
+        h = rms_norm(x, lp["ln2"], eps)
+        x = x + _mlp(lp["mlp"], h)
+
+    hidden = rms_norm(x[:, 0], params["norm"], eps).astype(jnp.float32)
+    k_upd = lax.dynamic_update_slice(
+        cache.k, jnp.stack(k_new).astype(cache.k.dtype), (0, 0, cur, 0, 0))
+    v_upd = lax.dynamic_update_slice(
+        cache.v, jnp.stack(v_new).astype(cache.v.dtype), (0, 0, cur, 0, 0))
+    return hidden, KVCache(k_upd, v_upd)
+
+
+def torch_key_map(cfg: GPTConfig) -> dict:
+    """Tree paths -> HF LlamaModel state-dict keys ('model.' prefix stripped
+    by the loader)."""
+    m = {"norm": ("norm.weight", "")}
+    for i in range(cfg.num_hidden_layers):
+        p = f"layers.{i}."
+        m.update(
+            {
+                f"layers/{i}/attn/wq": (f"{p}self_attn.q_proj.weight", "T"),
+                f"layers/{i}/attn/wk": (f"{p}self_attn.k_proj.weight", "T"),
+                f"layers/{i}/attn/wv": (f"{p}self_attn.v_proj.weight", "T"),
+                f"layers/{i}/attn/wo": (f"{p}self_attn.o_proj.weight", "T"),
+                f"layers/{i}/mlp/gate": (f"{p}mlp.gate_proj.weight", "T"),
+                f"layers/{i}/mlp/up": (f"{p}mlp.up_proj.weight", "T"),
+                f"layers/{i}/mlp/down": (f"{p}mlp.down_proj.weight", "T"),
+                f"layers/{i}/ln1": (f"{p}input_layernorm.weight", ""),
+                f"layers/{i}/ln2": (f"{p}post_attention_layernorm.weight", ""),
+            }
+        )
+    return m

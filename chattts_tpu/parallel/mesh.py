@@ -1,0 +1,94 @@
+"""Device mesh and sharding layouts.
+
+TPU-native replacement for the reference's distributed runtime (NCCL process
+groups + Ray actors + explicit broadcasts, ``ChatTTS/model/velocity/worker.py:
+207-238``, ``llm_engine.py:151-256``): a single-controller JAX mesh with two
+axes -
+
+* ``dp`` (data parallel): requests/batch shard across chips; the scaling axis
+  for throughput serving (the reference has no DP at all - its only batch
+  parallelism is continuous batching on one GPU);
+* ``tp`` (tensor parallel): attention heads and FFN columns shard across
+  chips for latency; the all-reduces the reference codes by hand inside
+  Row/ColumnParallelLinear (``velocity/llama.py:106-151``) are inserted by
+  XLA from these PartitionSpecs and ride the ICI.
+
+All specs are plain ``PartitionSpec`` trees matching our parameter/state
+pytrees; apply them with ``shard_params`` / ``jax.jit(in_shardings=...)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import GPTConfig
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp={dp * tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def gpt_param_specs(cfg: GPTConfig) -> dict:
+    """PartitionSpec tree for the transformer parameters (TP over heads/FFN)."""
+    layer = {
+        "attn": {
+            "wq": P(None, "tp"),
+            "wk": P(None, "tp"),
+            "wv": P(None, "tp"),
+            "wo": P("tp", None),
+        },
+        "mlp": {"gate": P(None, "tp"), "up": P(None, "tp"),
+                "down": P("tp", None)},
+        "ln1": P(None),
+        "ln2": P(None),
+    }
+    return {"layers": [layer] * cfg.num_hidden_layers, "norm": P(None)}
+
+
+def embed_param_specs(cfg: GPTConfig) -> dict:
+    """Embedding tables replicate (gathered by token id); heads shard vocab."""
+    return {
+        "emb_text": P(None, None),
+        "emb_code": P(None, None, None),
+        "head_text": P(None, "tp"),
+        "head_code": P(None, None, "tp"),
+    }
+
+
+def state_specs(cfg: GPTConfig) -> dict:
+    """Decode-loop state: batch over dp, KV heads over tp (GenState order)."""
+    cache = P(None, "dp", None, "tp", None)  # (L, B, T, H, Dh)
+    return {
+        "cache": {"k": cache, "v": cache},
+        "ids": P("dp", None, None),
+        "key_valid": P("dp", None),
+        "hidden": P("dp", None),
+        "cur": P(),
+        "pos_next": P("dp"),
+        "finish": P("dp"),
+        "end_idx": P("dp"),
+        "hiddens": P("dp", None, None),
+        "step": P(),
+        "rng": P(),
+    }
+
+
+def shard_params(params, specs, mesh: Mesh):
+    """Place a parameter pytree on the mesh according to a spec tree."""
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

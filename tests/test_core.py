@@ -1,0 +1,116 @@
+"""End-to-end Chat facade tests (tiny config, random weights)."""
+
+import numpy as np
+import pytest
+
+import chattts_tpu
+from chattts_tpu.core import Chat
+
+
+@pytest.fixture(scope="module")
+def chat(tiny_config):
+    c = Chat(config=tiny_config)
+    c.load(source="random", seed=0)
+    return c
+
+
+def _code_params(**kw):
+    d = dict(max_new_token=12, min_new_token=4, manual_seed=7)
+    d.update(kw)
+    return Chat.InferCodeParams(**d)
+
+
+def _refine_params(**kw):
+    d = dict(max_new_token=8, min_new_token=2, manual_seed=5)
+    d.update(kw)
+    return Chat.RefineTextParams(**d)
+
+
+def test_infer_returns_wav(chat):
+    wavs = chat.infer(
+        "hello world", params_refine_text=_refine_params(),
+        params_infer_code=_code_params())
+    assert len(wavs) == 1
+    assert wavs[0].dtype == np.float32
+
+
+def test_refine_text_only(chat):
+    txt = chat.infer(
+        "hello world", refine_text_only=True,
+        params_refine_text=_refine_params())
+    assert isinstance(txt, str)
+
+
+def test_skip_refine(chat):
+    wavs = chat.infer(
+        "hello world", skip_refine_text=True,
+        params_infer_code=_code_params())
+    assert len(wavs) == 1
+
+
+def test_use_decoder_false_path(chat):
+    wavs = chat.infer(
+        "hello world", skip_refine_text=True, use_decoder=False,
+        params_infer_code=_code_params())
+    assert len(wavs) == 1
+
+
+def test_speaker_strings(chat):
+    spk = chat.sample_random_speaker()
+    assert isinstance(spk, str) and len(spk) > 0
+    # round trip through the public codec
+    emb = chattts_tpu.codecs.decode_spk_emb(spk)
+    assert emb.shape == (chat.config.gpt.hidden_size,)
+    # use it for conditioning
+    wavs = chat.infer(
+        "hi", skip_refine_text=True,
+        params_infer_code=_code_params(spk_emb=spk))
+    assert len(wavs) == 1
+
+
+def test_zero_shot_clone(chat):
+    wav = (np.random.default_rng(0).standard_normal(4096) * 0.1).astype(
+        np.float32)
+    smp = chat.sample_audio_speaker(wav)
+    assert isinstance(smp, str)
+    codes = chattts_tpu.codecs.decode_code_prompt(smp)
+    assert codes.shape[0] == chat.config.gpt.num_vq
+    wavs = chat.infer(
+        "hi", skip_refine_text=True,
+        params_infer_code=_code_params(spk_smp=smp, txt_smp="ref"))
+    assert len(wavs) == 1
+
+
+def test_streaming(chat):
+    gen = chat.infer(
+        "hello world", stream=True, skip_refine_text=True,
+        params_infer_code=_code_params(
+            max_new_token=16, stream_batch=4, pass_first_n_batches=0,
+            stream_speed=512))
+    chunks = list(gen)
+    assert len(chunks) >= 1
+    for c in chunks:
+        assert c.ndim == 2
+
+
+def test_multi_sentence_split(chat):
+    wavs = chat.infer(
+        "one. two. three.", split_text=True, skip_refine_text=True,
+        params_infer_code=_code_params())
+    assert len(wavs) == 1
+
+
+def test_interrupt_flag(chat):
+    chat.interrupt()
+    assert chat.context.get()
+    chat.context.set(False)
+
+
+def test_unload_reload(tiny_config):
+    c = Chat(config=tiny_config)
+    c.load(source="random", seed=1)
+    assert c.has_loaded()
+    c.unload()
+    assert not c.has_loaded()
+    c.load(source="random", seed=1)
+    assert c.has_loaded()
