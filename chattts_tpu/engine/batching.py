@@ -1,0 +1,484 @@
+"""Continuous-batching serving engine (the reference's "velocity" layer,
+rebuilt TPU-first).
+
+The reference forks vLLM: Ray workers, NCCL broadcasts, a paged-KV block
+manager with copy-on-write, CPU swap, and CUDA-graph capture per batch size
+(``ChatTTS/model/velocity/``: scheduler.py, block_manager.py, worker.py,
+model_runner.py, llm_engine.py).  On TPU all of that machinery collapses:
+
+* **slots, not pages** - the engine owns one static-shape decode state of
+  ``max_num_seqs`` slots (dense per-slot KV regions).  XLA wants static
+  shapes; at ChatTTS scale (~2.3k max positions x 768) a slot's KV region is
+  ~6 MB - page-granular sharing buys nothing and costs a gather per step.
+  Admission = prefill into a free slot; completion frees it.  This is the
+  same *scheduling policy* as the reference (FCFS admission, iteration-level
+  batching, per-sequence sampling state) with allocation by slot.
+* **no workers / broadcasts** - single-controller JAX; multi-chip versions
+  of the state shard over the mesh (parallel/mesh.state_specs) and XLA moves
+  the bytes.
+* **no CUDA-graph capture** - the jitted chunk IS the captured graph.
+* **preemption-by-recompute and CPU swap are dropped** (documented non-goal:
+  at this model size admission control alone bounds memory; see
+  SURVEY.md section 7).
+
+Mirrored semantics: per-request sampling params (velocity/sampling_params.py
+extras: min_new_token/max_new_token/infer_text/eos_token/spk_emb), per-step
+hidden-state capture in outputs (velocity/sequence.py:84-88 - the fork's
+raison d'etre), any-codebook EOS, 16-token repetition window, and
+throughput/occupancy stats (llm_engine.py:667-740).
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import GPTConfig
+from ..models import embed as embed_mod
+from ..models import llama
+from ..models.llama import KVCache
+from ..ops import sampling
+from .generate import REP_WINDOW
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static engine geometry (compiled into the step functions)."""
+
+    max_num_seqs: int = 8          # decode slots (vLLM max_num_seqs analog)
+    max_prompt_len: int = 256      # prompts left-pad to this length
+    max_new_tokens: int = 2048     # per-slot generation region
+    chunk_steps: int = 16          # decode steps between host scheduling
+    infer_text: bool = False       # text mode (refine pass) vs code mode
+    text_eos_token: int = 0        # [Ebreak] id (text mode; static per engine)
+    collect_hidden: bool = True    # accumulate per-step hiddens (decoder path)
+
+    @property
+    def cache_len(self) -> int:
+        return self.max_prompt_len + self.max_new_tokens
+
+
+@dataclass
+class EngineRequest:
+    """One queued generation request."""
+
+    request_id: str
+    ids: np.ndarray              # (T0, num_vq) int32 prompt (unpadded)
+    text_mask: np.ndarray        # (T0,) bool
+    temperature: np.ndarray      # (num_vq,) or (1,)
+    top_p: float = 0.7
+    top_k: int = 20
+    repetition_penalty: float = 1.0
+    min_new: int = 0
+    max_new: int = 2048
+    eos_token: int = 0           # text mode only; code mode uses V_audio - 1
+    spk_vec: Optional[np.ndarray] = None
+    seed: Optional[int] = None
+    # streaming callback: fn(request_id, new_ids, new_hiddens, finished)
+    on_tokens: Optional[Callable] = None
+    arrival: float = field(default_factory=time.monotonic)
+
+
+@dataclass
+class EngineOutput:
+    request_id: str
+    ids: np.ndarray              # (T, num_vq) or (T,) generated tokens
+    hiddens: Optional[np.ndarray]  # (T, D) or None
+    finish_reason: str           # "eos" | "length"
+    metrics: Dict[str, float] = field(default_factory=dict)
+
+
+class SlotState(NamedTuple):
+    """Device-side engine state; one entry per slot along the S axis."""
+
+    cache: KVCache               # (L, S, Tc, H, Dh)
+    ids: jnp.ndarray             # (S, Tc, num_vq)
+    key_valid: jnp.ndarray       # (S, Tc)
+    hidden: jnp.ndarray          # (S, D) last hidden (produces next token)
+    cur: jnp.ndarray             # (S,) next write slot
+    pos_next: jnp.ndarray        # (S,) rope position of next token
+    step_in: jnp.ndarray         # (S,) tokens generated so far
+    active: jnp.ndarray          # (S,) slot is live
+    finish: jnp.ndarray          # (S,) sequence hit EOS / length
+    end_idx: jnp.ndarray         # (S,) kept tokens (pre-EOS)
+    hiddens: jnp.ndarray         # (S, max_new, D) or (S, 1, 1) when disabled
+    temperature: jnp.ndarray     # (S, num_vq)
+    top_p: jnp.ndarray           # (S,)
+    top_k: jnp.ndarray           # (S,)
+    rep_penalty: jnp.ndarray     # (S,)
+    min_new: jnp.ndarray         # (S,)
+    max_new: jnp.ndarray         # (S,)
+    rng: jax.Array
+
+
+def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int) -> SlotState:
+    S, Tc = ecfg.max_num_seqs, ecfg.cache_len
+    D = cfg.hidden_size
+    hshape = (S, ecfg.max_new_tokens, D) if ecfg.collect_hidden else (S, 1, 1)
+    return SlotState(
+        cache=KVCache.create(cfg, S, Tc),
+        ids=jnp.zeros((S, Tc, cfg.num_vq), jnp.int32),
+        key_valid=jnp.zeros((S, Tc), jnp.bool_),
+        hidden=jnp.zeros((S, D), jnp.float32),
+        cur=jnp.full((S,), ecfg.max_prompt_len, jnp.int32),
+        pos_next=jnp.zeros((S,), jnp.int32),
+        step_in=jnp.zeros((S,), jnp.int32),
+        active=jnp.zeros((S,), jnp.bool_),
+        finish=jnp.zeros((S,), jnp.bool_),
+        end_idx=jnp.zeros((S,), jnp.int32),
+        hiddens=jnp.zeros(hshape, jnp.float32),
+        temperature=jnp.ones((S, cfg.num_vq), jnp.float32),
+        top_p=jnp.ones((S,), jnp.float32),
+        top_k=jnp.zeros((S,), jnp.int32),
+        rep_penalty=jnp.ones((S,), jnp.float32),
+        min_new=jnp.zeros((S,), jnp.int32),
+        max_new=jnp.full((S,), ecfg.max_new_tokens, jnp.int32),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (built per (cfg, ecfg) pair)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
+    S, Tp, Tc = ecfg.max_num_seqs, ecfg.max_prompt_len, ecfg.cache_len
+    num_vq = cfg.num_vq
+    infer_text = ecfg.infer_text
+    eos_token = (ecfg.text_eos_token if infer_text
+                 else cfg.num_audio_tokens - 1)
+    max_penalized = (cfg.num_text_tokens if infer_text
+                     else cfg.num_audio_tokens - 1)
+
+    def prefill_slot(gp, ep, st: SlotState, slot, ids, attn, tmask,
+                     spk_vec, spk_emb_ids, temp, top_p, top_k, rep, min_new,
+                     max_new) -> SlotState:
+        """Admit one request into `slot`: prompt forward + state update.
+
+        ids/attn/tmask are (1, Tp, ...) already left-padded to Tp.
+        """
+        emb = embed_mod.embed_prompt(ep, ids, tmask)
+        n = spk_vec / jnp.maximum(jnp.linalg.norm(spk_vec), 1e-12)
+        cond = (ids[..., 0] == spk_emb_ids)[..., None]
+        emb = jnp.where(cond, n[None, None, :].astype(emb.dtype), emb)
+        positions = jnp.maximum(
+            jnp.cumsum(attn.astype(jnp.int32), axis=1) - 1, 0)
+        mini_cache = KVCache.create(cfg, 1, Tp)
+        hidden_all, mini_cache = llama.prefill(
+            gp, emb, attn, positions, mini_cache, cfg)
+
+        cache = KVCache(
+            lax.dynamic_update_slice(
+                st.cache.k, mini_cache.k, (0, slot, 0, 0, 0)),
+            lax.dynamic_update_slice(
+                st.cache.v, mini_cache.v, (0, slot, 0, 0, 0)),
+        )
+        ids_pad = jnp.pad(ids, ((0, 0), (0, Tc - Tp), (0, 0)))
+        kv_pad = jnp.pad(attn, ((0, 0), (0, Tc - Tp)))
+        return st._replace(
+            cache=cache,
+            ids=lax.dynamic_update_slice(st.ids, ids_pad, (slot, 0, 0)),
+            key_valid=lax.dynamic_update_slice(st.key_valid, kv_pad, (slot, 0)),
+            hidden=st.hidden.at[slot].set(hidden_all[0, -1]),
+            cur=st.cur.at[slot].set(Tp),
+            pos_next=st.pos_next.at[slot].set(
+                attn.astype(jnp.int32).sum()),
+            step_in=st.step_in.at[slot].set(0),
+            active=st.active.at[slot].set(True),
+            finish=st.finish.at[slot].set(False),
+            end_idx=st.end_idx.at[slot].set(0),
+            temperature=st.temperature.at[slot].set(temp),
+            top_p=st.top_p.at[slot].set(top_p),
+            top_k=st.top_k.at[slot].set(top_k),
+            rep_penalty=st.rep_penalty.at[slot].set(rep),
+            min_new=st.min_new.at[slot].set(min_new),
+            max_new=st.max_new.at[slot].set(max_new),
+        )
+
+    def step_body(carry):
+        st, gp, ep, _ = carry
+        rng, sub = jax.random.split(st.rng)
+        live = st.active & ~st.finish  # (S,)
+
+        if infer_text:
+            logits = embed_mod.head_text(ep, st.hidden)  # (S, Vt)
+            N = S
+            temp = st.temperature[:, 0]
+            top_p, top_k = st.top_p, st.top_k
+            rep = st.rep_penalty
+            step_rows = st.step_in
+            min_new_rows = st.min_new
+        else:
+            logits = embed_mod.head_code(ep, st.hidden).reshape(
+                S * num_vq, cfg.num_audio_tokens)
+            N = S * num_vq
+            temp = st.temperature.reshape(-1)
+            top_p = jnp.repeat(st.top_p, num_vq)
+            top_k = jnp.repeat(st.top_k, num_vq)
+            rep = jnp.repeat(st.rep_penalty, num_vq)
+            step_rows = jnp.repeat(st.step_in, num_vq)
+            min_new_rows = jnp.repeat(st.min_new, num_vq)
+
+        # per-slot trailing window (generated region only)
+        start = jnp.clip(st.cur - REP_WINDOW, 0, Tc - REP_WINDOW)  # (S,)
+        gather_pos = start[:, None] + jnp.arange(REP_WINDOW)[None, :]
+        win = jnp.take_along_axis(
+            st.ids, gather_pos[:, :, None], axis=1)  # (S, W, num_vq)
+        wmask = (gather_pos >= Tp) & (gather_pos < st.cur[:, None])
+        if infer_text:
+            win_rows = win[:, :, 0]
+            wmask_rows = wmask
+        else:
+            win_rows = win.transpose(0, 2, 1).reshape(N, REP_WINDOW)
+            wmask_rows = jnp.repeat(wmask, num_vq, axis=0)
+
+        sp = sampling.SamplingParams(
+            temperature=temp, top_p=top_p, top_k=top_k,
+            repetition_penalty=rep, min_new=min_new_rows)
+        ids_next = sampling.sample(
+            sub, logits, sp, win_rows, wmask_rows, step_rows,
+            eos_token, max_penalized)
+
+        if infer_text:
+            token = jnp.broadcast_to(ids_next[:, None], (S, num_vq))
+            eos_hit = ids_next == eos_token
+        else:
+            token = ids_next.reshape(S, num_vq)
+            eos_hit = jnp.any(token == eos_token, axis=-1)
+
+        # EOS drops the final token (reference end_idx semantics,
+        # gpt.py:512-525,598-601); a length stop keeps it.
+        eos_finish = live & eos_hit
+        length_hit = (st.step_in + 1) >= st.max_new
+        finish = st.finish | eos_finish | (live & length_hit)
+
+        rows = jnp.arange(S)
+        # only live slots write state
+        ids = st.ids.at[rows, st.cur].set(
+            jnp.where(live[:, None], token, st.ids[rows, st.cur]))
+        key_valid = st.key_valid.at[rows, st.cur].set(
+            st.key_valid[rows, st.cur] | live)
+        if ecfg.collect_hidden:
+            hid_pos = jnp.clip(st.step_in, 0, ecfg.max_new_tokens - 1)
+            hiddens = st.hiddens.at[rows, hid_pos].set(
+                jnp.where(live[:, None], st.hidden, st.hiddens[rows, hid_pos]))
+        else:
+            hiddens = st.hiddens
+        end_idx = st.end_idx + (live & ~eos_finish).astype(jnp.int32)
+
+        emb = (embed_mod.embed_text_step(ep, token[:, 0]) if infer_text
+               else embed_mod.embed_code_step(ep, token))
+        hidden, cache = llama.decode_step(
+            gp, emb, st.cache, st.cur, key_valid, st.pos_next, cfg)
+        hidden = jnp.where(live[:, None], hidden, st.hidden)
+
+        st = st._replace(
+            cache=cache, ids=ids, key_valid=key_valid, hidden=hidden,
+            cur=st.cur + live.astype(jnp.int32),
+            pos_next=st.pos_next + live.astype(jnp.int32),
+            step_in=st.step_in + live.astype(jnp.int32),
+            finish=finish, end_idx=end_idx, hiddens=hiddens, rng=rng)
+        return (st, gp, ep, carry[3] + 1)
+
+    def decode_chunk(gp, ep, st: SlotState, n_steps) -> SlotState:
+        def cond(carry):
+            s = carry[0]
+            return (carry[3] < n_steps) & jnp.any(s.active & ~s.finish)
+
+        st, _, _, _ = lax.while_loop(cond, step_body, (st, gp, ep, jnp.int32(0)))
+        return st
+
+    prefill_jit = jax.jit(prefill_slot, donate_argnums=(2,))
+    chunk_jit = jax.jit(decode_chunk, donate_argnums=(2,))
+    return prefill_jit, chunk_jit
+
+
+# ---------------------------------------------------------------------------
+# Host-side engine
+# ---------------------------------------------------------------------------
+
+
+class Engine:
+    """FCFS continuous-batching engine over the jitted slot state.
+
+    ``step()`` = admit waiting requests into free slots (prefill) -> run one
+    decode chunk -> harvest finished slots; mirrors LLMEngine.step()
+    (velocity/llm_engine.py:637-665) without workers or RPC.
+    """
+
+    def __init__(self, cfg: GPTConfig, ecfg: EngineConfig, gpt_params: dict,
+                 embed_params: dict, spk_emb_ids: int = 0, seed: int = 0):
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.gpt_params = gpt_params
+        self.embed_params = embed_params
+        self.spk_emb_ids = spk_emb_ids
+        self.state = _init_state(cfg, ecfg, seed)
+        self._prefill, self._chunk = _build_kernels(cfg, ecfg)
+        self.waiting: collections.deque[EngineRequest] = collections.deque()
+        self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs
+        self._slot_emitted = [0] * ecfg.max_num_seqs
+        # stats (reference logs every 5 s, llm_engine.py:667-740)
+        self.stats = {"tokens_generated": 0, "requests_finished": 0,
+                      "steps": 0, "prefills": 0}
+        self._last_log = time.monotonic()
+
+    # -- public API ----------------------------------------------------
+
+    def add_request(self, req: EngineRequest) -> None:
+        if req.ids.shape[0] > self.ecfg.max_prompt_len:
+            raise ValueError(
+                f"prompt length {req.ids.shape[0]} exceeds engine "
+                f"max_prompt_len {self.ecfg.max_prompt_len}")
+        self.waiting.append(req)
+
+    def abort_request(self, request_id: str) -> bool:
+        """Drop a queued or running request (llm_engine.py:365-371)."""
+        for i, r in enumerate(self.waiting):
+            if r.request_id == request_id:
+                del self.waiting[i]
+                return True
+        for s, r in enumerate(self.slots):
+            if r is not None and r.request_id == request_id:
+                self.slots[s] = None
+                self.state = self.state._replace(
+                    active=self.state.active.at[s].set(False))
+                return True
+        return False
+
+    def has_unfinished(self) -> bool:
+        return bool(self.waiting) or any(r is not None for r in self.slots)
+
+    def step(self) -> List[EngineOutput]:
+        self._admit()
+        if not any(r is not None for r in self.slots):
+            return []
+        self.state = self._chunk(
+            self.gpt_params, self.embed_params, self.state,
+            jnp.int32(self.ecfg.chunk_steps))
+        self.stats["steps"] += self.ecfg.chunk_steps
+        return self._harvest()
+
+    def generate(self, requests: List[EngineRequest]) -> List[EngineOutput]:
+        """Offline batch entry point (velocity/llm.py:122-180 analog)."""
+        for r in requests:
+            self.add_request(r)
+        outputs: List[EngineOutput] = []
+        while self.has_unfinished():
+            outputs.extend(self.step())
+        order = {r.request_id: i for i, r in enumerate(requests)}
+        outputs.sort(key=lambda o: order.get(o.request_id, 1 << 30))
+        return outputs
+
+    # -- internals -----------------------------------------------------
+
+    def _admit(self):
+        ecfg = self.ecfg
+        for s in range(ecfg.max_num_seqs):
+            if self.slots[s] is not None or not self.waiting:
+                continue
+            req = self.waiting.popleft()
+            T0 = req.ids.shape[0]
+            Tp = ecfg.max_prompt_len
+            ids = np.zeros((1, Tp, self.cfg.num_vq), np.int32)
+            attn = np.zeros((1, Tp), np.bool_)
+            tmask = np.zeros((1, Tp), np.bool_)
+            ids[0, Tp - T0 :] = req.ids
+            attn[0, Tp - T0 :] = True
+            tmask[0, Tp - T0 :] = req.text_mask
+            temp = np.asarray(req.temperature, np.float32)
+            if temp.shape[0] != self.cfg.num_vq:
+                temp = np.full((self.cfg.num_vq,), float(temp[0]), np.float32)
+            spk = (req.spk_vec if req.spk_vec is not None
+                   else np.zeros((self.cfg.hidden_size,), np.float32))
+            self.state = self._prefill(
+                self.gpt_params, self.embed_params, self.state,
+                jnp.int32(s), jnp.asarray(ids), jnp.asarray(attn),
+                jnp.asarray(tmask), jnp.asarray(spk, jnp.float32),
+                jnp.int32(self.spk_emb_ids), jnp.asarray(temp),
+                jnp.float32(req.top_p), jnp.int32(req.top_k),
+                jnp.float32(req.repetition_penalty), jnp.int32(req.min_new),
+                jnp.int32(min(req.max_new, ecfg.max_new_tokens)))
+            self.slots[s] = req
+            self._slot_emitted[s] = 0
+            self.stats["prefills"] += 1
+
+    def _harvest(self) -> List[EngineOutput]:
+        st = self.state
+        finish = np.asarray(st.finish)
+        active = np.asarray(st.active)
+        end_idx = np.asarray(st.end_idx)
+        step_in = np.asarray(st.step_in)
+        outputs: List[EngineOutput] = []
+        Tp = self.ecfg.max_prompt_len
+        ids_np = None
+        hid_np = None
+        for s, req in enumerate(self.slots):
+            if req is None or not active[s]:
+                continue
+            # streaming callback with newly generated tokens
+            if req.on_tokens is not None and step_in[s] > self._slot_emitted[s]:
+                if ids_np is None:
+                    ids_np = np.asarray(st.ids)
+                n = int(min(end_idx[s], step_in[s]))
+                lo = self._slot_emitted[s]
+                if n > lo:
+                    new_ids = ids_np[s, Tp + lo : Tp + n]
+                    if self.ecfg.collect_hidden:
+                        if hid_np is None:
+                            hid_np = np.asarray(st.hiddens)
+                        new_hid = hid_np[s, lo:n]
+                    else:
+                        new_hid = None
+                    req.on_tokens(req.request_id, new_ids, new_hid,
+                                  bool(finish[s]))
+                    self._slot_emitted[s] = n
+            if not finish[s]:
+                continue
+            if ids_np is None:
+                ids_np = np.asarray(st.ids)
+            n = int(end_idx[s])
+            seq = ids_np[s, Tp : Tp + n]
+            out_ids = seq[:, 0].copy() if self.ecfg.infer_text else seq.copy()
+            hid = None
+            if self.ecfg.collect_hidden:
+                if hid_np is None:
+                    hid_np = np.asarray(st.hiddens)
+                hid = hid_np[s, :n].copy()
+            reason = ("length" if n >= int(np.asarray(st.max_new)[s])
+                      else "eos")
+            outputs.append(EngineOutput(
+                request_id=req.request_id, ids=out_ids, hiddens=hid,
+                finish_reason=reason,
+                metrics={"gen_tokens": float(n),
+                         "latency_s": time.monotonic() - req.arrival}))
+            self.stats["tokens_generated"] += n
+            self.stats["requests_finished"] += 1
+            self.slots[s] = None
+            self.state = self.state._replace(
+                active=self.state.active.at[s].set(False))
+        self._maybe_log()
+        return outputs
+
+    def _maybe_log(self):
+        now = time.monotonic()
+        if now - self._last_log < 5.0:
+            return
+        self._last_log = now
+        occ = sum(r is not None for r in self.slots)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "engine: %d/%d slots, %d waiting, %d finished, %d tokens",
+            occ, self.ecfg.max_num_seqs, len(self.waiting),
+            self.stats["requests_finished"], self.stats["tokens_generated"])

@@ -169,13 +169,18 @@ def decode_step(
     params: dict,
     emb: jnp.ndarray,        # (B, D) current-token embedding
     cache: KVCache,
-    cur: jnp.ndarray,        # scalar int32: write position (== current length)
+    cur: jnp.ndarray,        # () or (B,) int32: write position per sequence
     key_valid: jnp.ndarray,  # (B, Tmax) bool: which cache slots are readable
     positions: jnp.ndarray,  # (B,) int32 rope position of the current token
     cfg: GPTConfig,
     dtype=jnp.bfloat16,
 ) -> tuple[jnp.ndarray, KVCache]:
-    """One AR step; returns (hidden (B, D) f32, updated cache)."""
+    """One AR step; returns (hidden (B, D) f32, updated cache).
+
+    ``cur`` scalar: all sequences at the same depth (single generate call;
+    cache writes are dynamic-update-slices).  ``cur`` vector: per-slot depths
+    (continuous batching; cache writes become per-row scatters).
+    """
     H, Dh, eps = cfg.num_attention_heads, cfg.head_dim, cfg.rms_norm_eps
     cos_t, sin_t = rope_tables(cfg)
     cos = jnp.asarray(cos_t)[positions][:, None, :]  # (B, 1, Dh)
@@ -183,10 +188,20 @@ def decode_step(
 
     B = emb.shape[0]
     Tmax = cache.k.shape[2]
+    per_slot = cur.ndim == 1
     # keys at slot >= cur+1 are future/garbage; key_valid kills left-padding
     slot_ids = lax.broadcasted_iota(jnp.int32, (Tmax,), 0)
-    readable = key_valid & (slot_ids[None, :] <= cur)  # current token included
+    cur_b = cur[:, None] if per_slot else cur
+    readable = key_valid & (slot_ids[None, :] <= cur_b)  # current token incl.
     bias = jnp.where(readable, 0.0, _MASK_VALUE)[:, None, None, :]  # (B,1,1,T)
+    rows = jnp.arange(B)
+
+    def write(buf, val):
+        # buf (B, Tmax, H, Dh); val (B, 1, H, Dh)
+        if per_slot:
+            return buf.at[rows, cur].set(val[:, 0])
+        return lax.dynamic_update_slice(buf, val.astype(buf.dtype),
+                                        (0, cur, 0, 0))
 
     x = emb[:, None, :].astype(dtype)  # (B, 1, D)
     k_new, v_new = [], []
@@ -197,10 +212,8 @@ def decode_step(
         v = _split_heads(h @ lp["attn"]["wv"], H)
         k_new.append(k)
         v_new.append(v)
-        k_all = lax.dynamic_update_slice(
-            cache.k[li], k.astype(cache.k.dtype), (0, cur, 0, 0))
-        v_all = lax.dynamic_update_slice(
-            cache.v[li], v.astype(cache.v.dtype), (0, cur, 0, 0))
+        k_all = write(cache.k[li], k.astype(cache.k.dtype))
+        v_all = write(cache.v[li], v.astype(cache.v.dtype))
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(dtype),
                             preferred_element_type=jnp.float32)
         scores = scores / np.sqrt(Dh) + bias
@@ -211,10 +224,14 @@ def decode_step(
         x = x + _mlp(lp["mlp"], h)
 
     hidden = rms_norm(x[:, 0], params["norm"], eps).astype(jnp.float32)
-    k_upd = lax.dynamic_update_slice(
-        cache.k, jnp.stack(k_new).astype(cache.k.dtype), (0, 0, cur, 0, 0))
-    v_upd = lax.dynamic_update_slice(
-        cache.v, jnp.stack(v_new).astype(cache.v.dtype), (0, 0, cur, 0, 0))
+    k_stack = jnp.stack(k_new).astype(cache.k.dtype)  # (L, B, 1, H, Dh)
+    v_stack = jnp.stack(v_new).astype(cache.v.dtype)
+    if per_slot:
+        k_upd = cache.k.at[:, rows, cur].set(k_stack[:, :, 0])
+        v_upd = cache.v.at[:, rows, cur].set(v_stack[:, :, 0])
+    else:
+        k_upd = lax.dynamic_update_slice(cache.k, k_stack, (0, 0, cur, 0, 0))
+        v_upd = lax.dynamic_update_slice(cache.v, v_stack, (0, 0, cur, 0, 0))
     return hidden, KVCache(k_upd, v_upd)
 
 

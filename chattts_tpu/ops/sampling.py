@@ -30,20 +30,24 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 
 class SamplingParams(NamedTuple):
-    """Dynamic (traced) sampling parameters; one set per generation call."""
+    """Dynamic (traced) sampling parameters.
 
-    temperature: jnp.ndarray  # (num_streams,) f32 (num_vq entries or 1)
-    top_p: jnp.ndarray        # () f32
-    top_k: jnp.ndarray        # () i32 (<=0 disables)
-    repetition_penalty: jnp.ndarray  # () f32 (1.0 disables)
-    min_new: jnp.ndarray      # () i32: suppress EOS while step < min_new
+    Every field is either a scalar (one generation call) or per-row (N,)
+    (continuous batching: each sequence carries its own knobs).
+    """
+
+    temperature: jnp.ndarray  # (num_streams,) or (N,) f32
+    top_p: jnp.ndarray        # () or (N,) f32
+    top_k: jnp.ndarray        # () or (N,) i32
+    repetition_penalty: jnp.ndarray  # () or (N,) f32 (1.0 disables)
+    min_new: jnp.ndarray      # () or (N,) i32: suppress EOS while step < min_new
 
 
 def repetition_penalty(
     scores: jnp.ndarray,       # (N, V) f32
     window_ids: jnp.ndarray,   # (N, W) int32 trailing generated tokens
     window_mask: jnp.ndarray,  # (N, W) bool: valid window entries
-    penalty: jnp.ndarray,      # () f32
+    penalty: jnp.ndarray,      # () or (N,) f32
     max_penalized: int,        # only columns < this are penalized
 ) -> jnp.ndarray:
     N, V = scores.shape
@@ -54,7 +58,8 @@ def repetition_penalty(
     if max_penalized < V:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
         freq = jnp.where(col < max_penalized, freq, 0.0)
-    alpha = jnp.power(penalty, freq)
+    pen = jnp.broadcast_to(jnp.asarray(penalty), (N,))[:, None]
+    alpha = jnp.power(pen, freq)
     return jnp.where(scores < 0, scores * alpha, scores / alpha)
 
 
@@ -65,7 +70,8 @@ def top_p_mask(scores: jnp.ndarray, top_p: jnp.ndarray,
     order = jnp.argsort(scores, axis=-1)  # ascending
     sorted_scores = jnp.take_along_axis(scores, order, axis=-1)
     cum = jnp.cumsum(jax.nn.softmax(sorted_scores, axis=-1), axis=-1)
-    remove_sorted = cum <= (1.0 - top_p)
+    p = jnp.broadcast_to(jnp.asarray(top_p), (N,))[:, None]
+    remove_sorted = cum <= (1.0 - p)
     keep_tail = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1) >= V - min_keep
     remove_sorted = remove_sorted & ~keep_tail
     rows = jnp.broadcast_to(jnp.arange(N)[:, None], (N, V))
@@ -76,13 +82,11 @@ def top_p_mask(scores: jnp.ndarray, top_p: jnp.ndarray,
 def top_k_mask(scores: jnp.ndarray, top_k: jnp.ndarray,
                min_keep: int = 3) -> jnp.ndarray:
     """HF TopKLogitsWarper: remove scores strictly below the k-th largest."""
-    V = scores.shape[-1]
-    k = jnp.clip(jnp.maximum(top_k, min_keep), 1, V)
+    N, V = scores.shape
+    k = jnp.clip(jnp.maximum(jnp.asarray(top_k), min_keep), 1, V)
+    k = jnp.broadcast_to(k, (N,))[:, None]
     sorted_desc = jnp.sort(scores, axis=-1)[:, ::-1]
-    kth = jnp.take_along_axis(
-        sorted_desc, jnp.broadcast_to(k[None, None] - 1, (scores.shape[0], 1)),
-        axis=-1,
-    )
+    kth = jnp.take_along_axis(sorted_desc, k - 1, axis=-1)
     return scores < kth
 
 
@@ -96,22 +100,31 @@ def sample(
     eos_token: int,
     max_penalized: int,
 ) -> jnp.ndarray:
-    """Full reference sampling chain; returns sampled ids (N,) int32."""
+    """Full reference sampling chain; returns sampled ids (N,) int32.
+
+    ``step`` may be a scalar (single generation) or per-row (N,) (continuous
+    batching, where every sequence is at its own depth).
+    """
     temp = params.temperature
     if temp.ndim == 1 and temp.shape[0] != logits.shape[0]:
         # per-codebook temperatures tiled over the batch: (B*num_vq,)
         temp = jnp.tile(temp, logits.shape[0] // temp.shape[0])
     scores = logits / temp[:, None]
-    scores = jax.lax.cond(
-        params.repetition_penalty != 1.0,
-        lambda s: repetition_penalty(
-            s, window_ids, window_mask, params.repetition_penalty, max_penalized),
-        lambda s: s,
-        scores,
-    )
+    rp = params.repetition_penalty
+    if rp.ndim == 0:
+        scores = jax.lax.cond(
+            rp != 1.0,
+            lambda s: repetition_penalty(
+                s, window_ids, window_mask, rp, max_penalized),
+            lambda s: s,
+            scores,
+        )
+    else:  # per-row penalties: always apply (1.0 rows are a no-op)
+        scores = repetition_penalty(
+            scores, window_ids, window_mask, rp, max_penalized)
     scores = jnp.where(top_p_mask(scores, params.top_p), NEG_INF, scores)
     scores = jnp.where(top_k_mask(scores, params.top_k), NEG_INF, scores)
-    eos_sup = (step < params.min_new)
+    eos_sup = jnp.broadcast_to(step < params.min_new, (scores.shape[0],))
     scores = scores.at[:, eos_token].set(
         jnp.where(eos_sup, NEG_INF, scores[:, eos_token])
     )
