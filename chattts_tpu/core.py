@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .config import Config, load_spk_stat_string
 from .engine.generate import GenerateRequest, GenerationOutputs, Generator, Interrupt
+from .engine.streaming import StreamingDecoder, plan_windows
 from .models import dvae as dvae_mod
 from .models import embed as embed_mod
 from .models import llama as llama_mod
@@ -314,35 +315,75 @@ class Chat:
                 params_infer_code.spk_smp = self.sample_audio_speaker(wavs[0])
                 params_infer_code.txt_smp = refer_text
 
-        length = 0
-        pass_batch_count = 0
         if split_text:
             batches = [text[i : i + max_split_batch]
                        for i in range(0, len(text), max_split_batch)]
         else:
             batches = [text]
         for batch in batches:
-            wavs = np.zeros((len(batch), 0), np.float32)
-            for result in self._infer_code(
-                    batch, stream, use_decoder, params_infer_code):
-                wavs = self._decode_to_wavs(result, use_decoder)
-                result.destroy()
-                if stream:
-                    pass_batch_count += 1
-                    if pass_batch_count <= params_infer_code.pass_first_n_batches:
-                        continue
-                    a = length
-                    b = min(a + params_infer_code.stream_speed, wavs.shape[1])
-                    length = b
-                    yield wavs[:, a:b]
-                else:
-                    yield wavs
             if stream:
-                new_wavs = wavs[:, length:]
-                keep = np.sum(np.abs(new_wavs) > 1e-5, axis=0) > 0
-                yield new_wavs[:, keep]
-                length = 0
-                pass_batch_count = 0
+                yield from self._stream_batch(
+                    batch, use_decoder, params_infer_code)
+            else:
+                for result in self._infer_code(
+                        batch, False, use_decoder, params_infer_code):
+                    yield self._decode_to_wavs(result, use_decoder)
+                    result.destroy()
+
+    def _stream_batch(self, batch, use_decoder, params):
+        """Streaming synthesis with incremental windowed vocoding.
+
+        The reference re-decodes ALL accumulated hidden states on every
+        yield (core.py:475-503, O(T^2) total); here a StreamingDecoder
+        finalizes samples as soon as their conv receptive cone is complete,
+        so each yield costs one fixed-size window.  Emission cadence keeps
+        the reference semantics: withhold the first ``pass_first_n_batches``
+        yields, then emit ``stream_speed``-sample windows, then flush the
+        silence-stripped tail.
+        """
+        ctx, guard, window = plan_windows(
+            self.config.decoder.stack if use_decoder
+            else self.config.dvae.decoder,
+            self.config.vocos, params.stream_batch)
+        sd = StreamingDecoder(
+            self._stream_decode_fn(use_decoder), len(batch),
+            self.config.gpt.hidden_size if use_decoder
+            else self.config.gpt.num_vq,
+            ctx=ctx, guard=guard, window=window,
+            int_features=not use_decoder)
+        pending = np.zeros((len(batch), 0), np.float32)
+        pass_batch_count = 0
+        last_items = []
+        for result in self._infer_code(batch, True, use_decoder, params):
+            last_items = result.hiddens if use_decoder else result.ids
+            final = bool(result.finished.all())
+            pending = np.concatenate(
+                [pending, sd.update(last_items, final=final)], axis=1)
+            result.destroy()
+            pass_batch_count += 1
+            if pass_batch_count <= params.pass_first_n_batches:
+                continue
+            if pending.shape[1] >= params.stream_speed or final:
+                emit = pending[:, : params.stream_speed]
+                pending = pending[:, params.stream_speed :]
+                if emit.size:
+                    yield emit
+        # tail flush: whatever remains, silence-stripped (core.py:501-503)
+        if sd.emitted < sd.available:
+            pending = np.concatenate(
+                [pending, sd.update(last_items, final=True)], axis=1)
+        keep = np.sum(np.abs(pending) > 1e-5, axis=0) > 0
+        yield pending[:, keep]
+
+    def _stream_decode_fn(self, use_decoder: bool):
+        if use_decoder:
+            return lambda win: np.asarray(self._vocos_jit(
+                self.vocos_params,
+                self._decode_hidden_jit(self.decoder_params,
+                                        jnp.asarray(win))))
+        return lambda win: np.asarray(self._vocos_jit(
+            self.vocos_params,
+            self._decode_indices_jit(self.dvae_params, jnp.asarray(win))))
 
     # -- decoding ------------------------------------------------------
 

@@ -1,0 +1,148 @@
+"""Incremental streaming vocoder: decode only what's new, emit what's final.
+
+The reference's streaming path re-runs the full DVAE+Vocos stack over ALL
+accumulated hidden states on every yield and then slices out a window
+(``ChatTTS/core.py:475-503``) - O(T^2) total vocoder work and a growing
+per-yield latency.  The conv stacks have a finite receptive field, so a
+sample is *final* once its full receptive cone of hidden positions exists.
+This module decodes a fixed-size sliding window per yield:
+
+    window = [emitted - ctx, n)      decode
+    emit   = [emitted, n - guard)    new final samples
+
+``guard`` >= the total receptive field (decoder ConvNeXt stack + Vocos
+backbone + ISTFT overlap, in hidden positions) makes the emitted samples
+equal to a full-sequence decode up to float reassociation; ``ctx`` >= the
+same bound provides the left context.  Each yield costs O(window) instead of
+O(T), and the window is shape-static so XLA compiles it once.
+
+Frame math: 1 hidden position -> 2 mel frames -> 512 samples (hop 256).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+SAMPLES_PER_HIDDEN = 512  # 2 mel frames x hop 256
+
+
+def conv_stack_receptive(n_layer: int, kernel: int, dilation: int) -> int:
+    """One-sided receptive field of a DVAE-style stack, in its own frames."""
+    rf = 1 + 1  # conv_in: two k=3 p=1 convs
+    rf += n_layer * dilation * (kernel // 2)  # dilated depthwise convs
+    rf += 1  # out_conv k=3 (DVAE-level)
+    return rf
+
+
+def plan_windows(decoder_stack, vocos_cfg, stream_batch: int = 24
+                 ) -> tuple[int, int, int]:
+    """(ctx, guard, window) in hidden positions from actual receptive fields.
+
+    guard must cover the mel-domain receptive cone of the decoder stack +
+    Vocos backbone + the ISTFT overlap (n_fft/hop frames), halved into
+    hidden positions (1 hidden -> 2 mel frames).
+    """
+    rf_mel = conv_stack_receptive(
+        decoder_stack.n_layer, decoder_stack.kernel, decoder_stack.dilation)
+    rf_mel += 3 + vocos_cfg.num_layers * 3  # embed k7 + ConvNeXt k7 blocks
+    rf_mel += vocos_cfg.n_fft // vocos_cfg.hop_length  # ISTFT overlap
+    guard = -(-rf_mel // 2) + 2
+    ctx = guard + 8
+    window = ctx + guard + max(stream_batch + 8, 16)
+    window = ((window + 15) // 16) * 16  # bucket the compile shape
+    return ctx, guard, window
+
+
+class StreamingDecoder:
+    """Stateful incremental hidden(or code)->waveform decoder for one batch.
+
+    ``decode_fn(batch) -> np.ndarray (B, n_samples)`` must run the full
+    mel+vocoder chain on a (B, W, C) window (the facade passes its jitted
+    decoder+vocos pipeline).  ``feature_dim`` is 768 hidden dims or num_vq
+    code ids; dtype float32 / int32 respectively.
+    """
+
+    def __init__(
+        self,
+        decode_fn: Callable[[np.ndarray], np.ndarray],
+        batch: int,
+        feature_dim: int,
+        ctx: int = 64,
+        guard: int = 56,
+        window: int = 160,
+        int_features: bool = False,
+    ):
+        if window < ctx + guard + 8:
+            raise ValueError("window too small for ctx + guard")
+        self.decode_fn = decode_fn
+        self.ctx = ctx
+        self.guard = guard
+        self.window = window
+        self.emitted = 0  # hidden positions fully emitted
+        self.dtype = np.int32 if int_features else np.float32
+        self._feats = np.zeros((batch, 0, feature_dim), self.dtype)
+
+    @property
+    def available(self) -> int:
+        return self._feats.shape[1]
+
+    def update(self, feats_list: List[np.ndarray], final: bool = False
+               ) -> np.ndarray:
+        """Feed cumulative per-sequence features; returns newly-final samples.
+
+        feats_list: one (Ti, C) array per sequence (cumulative, as produced
+        by the generator's partial outputs).  Returns (B, new_samples).
+        """
+        n = max((f.shape[0] for f in feats_list), default=0)
+        B = self._feats.shape[0]
+        if n > self.available:
+            grown = np.zeros((B, n, self._feats.shape[2]), self.dtype)
+            grown[:, : self.available] = self._feats
+            for b, f in enumerate(feats_list):
+                grown[b, : f.shape[0]] = f
+            self._feats = grown
+        target = n if final else n - self.guard
+        out = []
+        while self.emitted < target:
+            lo = max(0, self.emitted - self.ctx)
+            hi = min(n, lo + self.window)
+            is_last = final and hi == n
+            if is_last:
+                # right-align so the true sequence end sits ON the window
+                # edge: the convs' own zero padding then matches a
+                # full-sequence decode exactly.  Mid-stream windows pad on
+                # the right instead, where the guard shields the emission
+                # region; zero padding is NOT inert inside the tensor
+                # (LayerNorm maps zero vectors to its bias), so which side
+                # gets padded matters.
+                lo = max(0, hi - self.window)
+            emit_hi = hi if is_last else min(hi - self.guard, target)
+            if emit_hi <= self.emitted:
+                break  # window cannot make progress (guard >= window - ctx)
+            win = self._feats[:, lo:hi]
+            pad = self.window - win.shape[1]
+            # left padding is only safe when the emission start is at least a
+            # receptive field away from it; very short utterances fall back
+            # to right padding - the same zero-pad tail the reference's
+            # batched decode produces (core.py:522-530 pads to batch max)
+            pad_left = pad if (is_last and self.emitted - lo >= self.guard) \
+                else 0
+            if pad:
+                win = np.pad(
+                    win, ((0, 0), (pad_left, pad - pad_left), (0, 0)))
+            wav = self.decode_fn(win)  # (B, (2*window-1)*hop)
+            a = (pad_left + self.emitted - lo) * SAMPLES_PER_HIDDEN
+            b = (pad_left + emit_hi - lo) * SAMPLES_PER_HIDDEN
+            if is_last:
+                # true signal ends at frame 2*(pad_left + hi - lo); its last
+                # sample in a full decode is (2*len - 1) * hop
+                b = min(b, (2 * (pad_left + hi - lo) - 1)
+                        * (SAMPLES_PER_HIDDEN // 2))
+            b = min(b, wav.shape[1])
+            out.append(np.asarray(wav[:, a:b]))
+            self.emitted = emit_hi
+        if not out:
+            return np.zeros((B, 0), np.float32)
+        return np.concatenate(out, axis=1)

@@ -1,0 +1,99 @@
+"""Incremental streaming vocoder: emitted samples == full decode."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chattts_tpu.engine.streaming import StreamingDecoder
+from chattts_tpu.models import dvae as dvae_mod
+from chattts_tpu.models import vocos as vocos_mod
+
+
+@pytest.fixture(scope="module")
+def pipeline(tiny_config):
+    dp = dvae_mod.init_decoder_params(jax.random.PRNGKey(0),
+                                      tiny_config.decoder)
+    vp = vocos_mod.init_params(jax.random.PRNGKey(1), tiny_config.vocos)
+
+    def decode(feats):
+        mel = dvae_mod.decode_from_hidden(dp, jnp.asarray(feats),
+                                          tiny_config.decoder)
+        return np.asarray(vocos_mod.decode(vp, mel, tiny_config.vocos))
+
+    return jax.jit(
+        lambda f: vocos_mod.decode(
+            vp, dvae_mod.decode_from_hidden(dp, f, tiny_config.decoder),
+            tiny_config.vocos)), decode
+
+
+def test_incremental_matches_full(pipeline, tiny_config, rng):
+    decode_jit, decode_np = pipeline
+    B, T, C = 2, 90, tiny_config.decoder.stack.idim * 2
+    feats = rng.standard_normal((B, T, C)).astype(np.float32)
+
+    full = decode_np(feats)  # (B, (2T-1)*256)
+
+    sd = StreamingDecoder(lambda w: np.asarray(decode_jit(jnp.asarray(w))),
+                          B, C, ctx=40, guard=32, window=96)
+    chunks = []
+    step = 13
+    for hi in range(step, T + step, step):
+        hi = min(hi, T)
+        items = [feats[b, :hi] for b in range(B)]
+        out = sd.update(items, final=(hi == T))
+        if out.size:
+            chunks.append(out)
+    inc = np.concatenate(chunks, axis=1)
+    assert inc.shape == full.shape
+    np.testing.assert_allclose(inc, full, atol=2e-4)
+
+
+def test_one_shot_final(pipeline, tiny_config, rng):
+    """A single final update (short utterance): equals the right-padded
+    decode the reference's own batched path would produce (zero-pad to the
+    window), trimmed to the true signal length."""
+    decode_jit, decode_np = pipeline
+    C = tiny_config.decoder.stack.idim * 2
+    T = 20
+    feats = rng.standard_normal((1, T, C)).astype(np.float32)
+    padded = np.pad(feats, ((0, 0), (0, 96 - T), (0, 0)))
+    full_padded = np.asarray(decode_jit(jnp.asarray(padded)))[:, : (2 * T - 1) * 256]
+    sd = StreamingDecoder(lambda w: np.asarray(decode_jit(jnp.asarray(w))),
+                          1, C, ctx=40, guard=32, window=96)
+    out = sd.update([feats[0]], final=True)
+    assert out.shape == full_padded.shape
+    np.testing.assert_allclose(out, full_padded, atol=2e-4)
+    # and the interior (away from the padded tail) matches the exact decode
+    full = decode_np(feats)
+    interior = (T - 16) * 512
+    np.testing.assert_allclose(out[:, :interior], full[:, :interior],
+                               atol=2e-4)
+
+
+def test_no_emission_before_guard(pipeline, tiny_config, rng):
+    decode_jit, _ = pipeline
+    C = tiny_config.decoder.stack.idim * 2
+    sd = StreamingDecoder(lambda w: np.asarray(decode_jit(jnp.asarray(w))),
+                          1, C, ctx=40, guard=32, window=96)
+    feats = rng.standard_normal((10, C)).astype(np.float32)
+    out = sd.update([feats], final=False)  # 10 < guard
+    assert out.shape == (1, 0)
+
+
+def test_streaming_facade_total_length(tiny_config):
+    """Facade streaming: chunks concatenate to the full utterance."""
+    from chattts_tpu.core import Chat
+
+    chat = Chat(config=tiny_config)
+    chat.load(source="random", seed=0)
+    p = Chat.InferCodeParams(max_new_token=24, min_new_token=20,
+                             manual_seed=3, stream_batch=6,
+                             pass_first_n_batches=0, stream_speed=2048)
+    chunks = list(chat.infer("stream me", stream=True,
+                             skip_refine_text=True, params_infer_code=p))
+    assert len(chunks) >= 2
+    total = sum(c.shape[1] for c in chunks)
+    assert total > 0
