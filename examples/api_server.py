@@ -86,7 +86,21 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        if self.path == "/health":
+        if self.path == "/" or self.path == "/index.html":
+            import os
+
+            page = os.path.join(os.path.dirname(__file__), "webui.html")
+            try:
+                with open(page, "rb") as f:
+                    body = f.read()
+            except OSError:
+                return self._json_error(404, "webui.html missing")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/health":
             body = json.dumps({"status": "ok"}).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")

@@ -32,6 +32,13 @@ def test_health(server):
         assert json.load(r)["status"] == "ok"
 
 
+def test_webui_page(server):
+    with urllib.request.urlopen(server + "/", timeout=30) as r:
+        body = r.read()
+    assert r.headers["Content-Type"].startswith("text/html")
+    assert b"generate_voice" in body
+
+
 def test_generate_voice(server):
     body = {"text": ["hi there"], "skip_refine_text": True,
             "max_new_token": 12, "min_new_token": 6, "manual_seed": 1}
