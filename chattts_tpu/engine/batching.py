@@ -145,6 +145,33 @@ def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int) -> SlotState:
     )
 
 
+def _state_specs(cfg: GPTConfig, ecfg: EngineConfig):
+    """PartitionSpec tree matching SlotState: slots over dp, heads over tp."""
+    from jax.sharding import PartitionSpec as P
+
+    return SlotState(
+        cache=KVCache(P(None, "dp", None, "tp", None),
+                      P(None, "dp", None, "tp", None)),
+        ids=P("dp", None, None),
+        key_valid=P("dp", None),
+        hidden=P("dp", None),
+        cur=P("dp"),
+        pos_next=P("dp"),
+        step_in=P("dp"),
+        active=P("dp"),
+        finish=P("dp"),
+        end_idx=P("dp"),
+        hiddens=P("dp", None, None),
+        temperature=P("dp", None),
+        top_p=P("dp"),
+        top_k=P("dp"),
+        rep_penalty=P("dp"),
+        min_new=P("dp"),
+        max_new=P("dp"),
+        rng=P(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # jitted kernels (built per (cfg, ecfg) pair)
 # ---------------------------------------------------------------------------
@@ -317,13 +344,37 @@ class Engine:
     """
 
     def __init__(self, cfg: GPTConfig, ecfg: EngineConfig, gpt_params: dict,
-                 embed_params: dict, spk_emb_ids: int = 0, seed: int = 0):
+                 embed_params: dict, spk_emb_ids: int = 0, seed: int = 0,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with ("dp", "tp") axes.
+
+        When given, parameters shard over `tp` (heads/FFN) and the slot state
+        over `dp` (slots are the request axis) - the multi-chip serving
+        layout; XLA inserts the collectives.  ``max_num_seqs`` must divide by
+        the dp size.
+        """
         self.cfg = cfg
         self.ecfg = ecfg
+        self.state = _init_state(cfg, ecfg, seed)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import mesh as mesh_mod
+
+            if ecfg.max_num_seqs % mesh.shape["dp"]:
+                raise ValueError("max_num_seqs must divide dp size")
+            gpt_params = mesh_mod.shard_params(
+                gpt_params, mesh_mod.gpt_param_specs(cfg), mesh)
+            embed_params = mesh_mod.shard_params(
+                embed_params, mesh_mod.embed_param_specs(cfg), mesh)
+            specs = _state_specs(cfg, ecfg)
+            self.state = jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+                self.state, specs)
+        self.mesh = mesh
         self.gpt_params = gpt_params
         self.embed_params = embed_params
         self.spk_emb_ids = spk_emb_ids
-        self.state = _init_state(cfg, ecfg, seed)
         self._prefill, self._chunk = _build_kernels(cfg, ecfg)
         self.waiting: collections.deque[EngineRequest] = collections.deque()
         self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs

@@ -189,19 +189,16 @@ def decode_step(
     B = emb.shape[0]
     Tmax = cache.k.shape[2]
     per_slot = cur.ndim == 1
-    # keys at slot >= cur+1 are future/garbage; key_valid kills left-padding
+    # strictly-past keys from the cache; the current token's k/v join the
+    # softmax as an extra concatenated column instead of being written into
+    # the cache first - this keeps the per-layer cache reads pure (no
+    # scatter-copy of the cache inside every layer) and leaves ONE stacked
+    # in-place cache update at the end of the step.
     slot_ids = lax.broadcasted_iota(jnp.int32, (Tmax,), 0)
     cur_b = cur[:, None] if per_slot else cur
-    readable = key_valid & (slot_ids[None, :] <= cur_b)  # current token incl.
-    bias = jnp.where(readable, 0.0, _MASK_VALUE)[:, None, None, :]  # (B,1,1,T)
+    past_ok = key_valid & (slot_ids[None, :] < cur_b)
+    past_bias = jnp.where(past_ok, 0.0, _MASK_VALUE)[:, None, None, :]
     rows = jnp.arange(B)
-
-    def write(buf, val):
-        # buf (B, Tmax, H, Dh); val (B, 1, H, Dh)
-        if per_slot:
-            return buf.at[rows, cur].set(val[:, 0])
-        return lax.dynamic_update_slice(buf, val.astype(buf.dtype),
-                                        (0, cur, 0, 0))
 
     x = emb[:, None, :].astype(dtype)  # (B, 1, D)
     k_new, v_new = [], []
@@ -212,13 +209,16 @@ def decode_step(
         v = _split_heads(h @ lp["attn"]["wv"], H)
         k_new.append(k)
         v_new.append(v)
-        k_all = write(cache.k[li], k.astype(cache.k.dtype))
-        v_all = write(cache.v[li], v.astype(cache.v.dtype))
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(dtype),
+        s_past = jnp.einsum("bqhd,bkhd->bhqk", q, cache.k[li].astype(dtype),
                             preferred_element_type=jnp.float32)
-        scores = scores / np.sqrt(Dh) + bias
+        s_self = jnp.einsum("bqhd,bqhd->bhq", q, k,
+                            preferred_element_type=jnp.float32)[..., None]
+        scores = jnp.concatenate(
+            [s_past / np.sqrt(Dh) + past_bias, s_self / np.sqrt(Dh)], axis=-1)
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all.astype(dtype))
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs[..., :Tmax],
+                       cache.v[li].astype(dtype))
+        o = o + probs[:, :, 0, Tmax:].transpose(0, 2, 1)[:, :, :, None] * v
         x = x + o.reshape(B, 1, -1) @ lp["attn"]["wo"]
         h = rms_norm(x, lp["ln2"], eps)
         x = x + _mlp(lp["mlp"], h)

@@ -113,3 +113,35 @@ def test_prompt_too_long_rejected(tiny_config, params):
     eng = _mk_engine(tiny_config, params)
     with pytest.raises(ValueError):
         eng.add_request(_req(cfg, "x", n=20))
+
+
+def test_mesh_sharded_engine(tiny_config, params):
+    """Engine state/params shard over a dp x tp mesh; results stay correct."""
+    from chattts_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config.gpt
+    mesh = make_mesh(dp=4, tp=2)
+    eng = _mk_engine(tiny_config, params)  # unsharded baseline
+    base = eng.generate([_req(cfg, "m0", min_new=6, max_new=8)])
+
+    from chattts_tpu.engine.batching import Engine, EngineConfig
+
+    ecfg = EngineConfig(max_num_seqs=4, max_prompt_len=16, max_new_tokens=12,
+                        chunk_steps=4, infer_text=False, collect_hidden=True)
+    eng_m = Engine(cfg, ecfg, params[0], params[1], mesh=mesh)
+    with mesh:
+        outs = eng_m.generate([_req(cfg, "m0", min_new=6, max_new=8)])
+    assert len(outs) == 1
+    assert outs[0].ids.shape == base[0].ids.shape
+    # same engine seed + same request seed path -> same tokens
+    np.testing.assert_array_equal(outs[0].ids, base[0].ids)
+
+
+def test_mesh_bad_dp_rejected(tiny_config, params):
+    from chattts_tpu.parallel.mesh import make_mesh
+    from chattts_tpu.engine.batching import Engine, EngineConfig
+
+    mesh = make_mesh(dp=8, tp=1)
+    ecfg = EngineConfig(max_num_seqs=6, max_prompt_len=16, max_new_tokens=8)
+    with pytest.raises(ValueError):
+        Engine(tiny_config.gpt, ecfg, params[0], params[1], mesh=mesh)
