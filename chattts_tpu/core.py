@@ -149,9 +149,7 @@ class Chat:
         state = io_utils.load_safetensors(gpt_file)
         state = {k.removeprefix("model."): v for k, v in state.items()}
         self.gpt_params = llama_mod.init_params(jax.random.PRNGKey(0), cfg.gpt)
-        io_utils.apply_key_map(
-            self.gpt_params, state, llama_mod.torch_key_map(cfg.gpt),
-            to_jnp=lambda a: jnp.asarray(a, jnp.bfloat16))
+        llama_mod.load_from_state(self.gpt_params, state, cfg.gpt)
         self.tokenizer = Tokenizer(path(p.tokenizer_path))
         self.speaker = Speaker(cfg.gpt.hidden_size, load_spk_stat_string())
         self.coef = dvae_mod.coef_string(self.decoder_params)

@@ -32,27 +32,28 @@ _MASK_VALUE = -1e9
 
 
 def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.bfloat16) -> dict:
+    """Parameter tree.  Q/K/V and gate/up are stored FUSED -
+    ``wqkv (D, 3, H, Dh)`` and ``wgu (D, 2, I)`` - so each is one MXU matmul
+    per step instead of three/two; the extra leading axis keeps head (H) and
+    FFN (I) dims intact for tensor-parallel sharding."""
     D, I = cfg.hidden_size, cfg.intermediate_size
-    HD = cfg.num_attention_heads * cfg.head_dim
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
 
     def lin(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
 
     layers = []
     for lk in jax.random.split(key, cfg.num_hidden_layers):
-        ks = jax.random.split(lk, 7)
+        ks = jax.random.split(lk, 4)
         layers.append(
             {
                 "attn": {
-                    "wq": lin(ks[0], (D, HD)),
-                    "wk": lin(ks[1], (D, HD)),
-                    "wv": lin(ks[2], (D, HD)),
-                    "wo": lin(ks[3], (HD, D)),
+                    "wqkv": lin(ks[0], (D, 3, H, Dh)),
+                    "wo": lin(ks[1], (H * Dh, D)),
                 },
                 "mlp": {
-                    "gate": lin(ks[4], (D, I)),
-                    "up": lin(ks[5], (D, I)),
-                    "down": lin(ks[6], (I, D)),
+                    "wgu": lin(ks[2], (D, 2, I)),
+                    "down": lin(ks[3], (I, D)),
                 },
                 "ln1": jnp.ones((D,), jnp.float32),
                 "ln2": jnp.ones((D,), jnp.float32),
@@ -105,12 +106,14 @@ class KVCache(NamedTuple):
 
 
 def _mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return (jax.nn.silu(x @ p["gate"]) * (x @ p["up"])) @ p["down"]
+    gu = jnp.einsum("btd,dci->btci", x, p["wgu"])  # (B, T, 2, I)
+    return (jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]) @ p["down"]
 
 
-def _split_heads(x: jnp.ndarray, H: int) -> jnp.ndarray:
-    B, T, _ = x.shape
-    return x.reshape(B, T, H, -1)
+def _qkv(p: dict, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """x (B, T, D) -> q, k, v each (B, T, H, Dh) via one fused matmul."""
+    qkv = jnp.einsum("btd,dchk->btchk", x, p["wqkv"])
+    return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
 
 def prefill(
@@ -141,9 +144,9 @@ def prefill(
     ks, vs = [], []
     for lp in params["layers"]:
         h = rms_norm(x, lp["ln1"], eps)
-        q = apply_rope(_split_heads(h @ lp["attn"]["wq"], H), cos, sin)
-        k = apply_rope(_split_heads(h @ lp["attn"]["wk"], H), cos, sin)
-        v = _split_heads(h @ lp["attn"]["wv"], H)
+        q, k, v = _qkv(lp["attn"], h)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
         ks.append(k)
         vs.append(v)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -204,9 +207,9 @@ def decode_step(
     k_new, v_new = [], []
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln1"], eps)
-        q = apply_rope(_split_heads(h @ lp["attn"]["wq"], H), cos, sin)
-        k = apply_rope(_split_heads(h @ lp["attn"]["wk"], H), cos, sin)
-        v = _split_heads(h @ lp["attn"]["wv"], H)
+        q, k, v = _qkv(lp["attn"], h)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
         k_new.append(k)
         v_new.append(v)
         s_past = jnp.einsum("bqhd,bkhd->bhqk", q, cache.k[li].astype(dtype),
@@ -235,23 +238,34 @@ def decode_step(
     return hidden, KVCache(k_upd, v_upd)
 
 
-def torch_key_map(cfg: GPTConfig) -> dict:
-    """Tree paths -> HF LlamaModel state-dict keys ('model.' prefix stripped
-    by the loader)."""
-    m = {"norm": ("norm.weight", "")}
+def load_from_state(params: dict, state: dict, cfg: GPTConfig,
+                    dtype=jnp.bfloat16) -> dict:
+    """Fill params from an HF LlamaModel state dict ('model.' prefix already
+    stripped), fusing q/k/v and gate/up into the stacked layouts."""
+    import numpy as np  # noqa: PLC0415
+
+    D, H, Dh, I = (cfg.hidden_size, cfg.num_attention_heads, cfg.head_dim,
+                   cfg.intermediate_size)
+
+    def t(key):  # torch Linear (out, in) -> (in, out)
+        return np.asarray(state[key]).T
+
     for i in range(cfg.num_hidden_layers):
         p = f"layers.{i}."
-        m.update(
-            {
-                f"layers/{i}/attn/wq": (f"{p}self_attn.q_proj.weight", "T"),
-                f"layers/{i}/attn/wk": (f"{p}self_attn.k_proj.weight", "T"),
-                f"layers/{i}/attn/wv": (f"{p}self_attn.v_proj.weight", "T"),
-                f"layers/{i}/attn/wo": (f"{p}self_attn.o_proj.weight", "T"),
-                f"layers/{i}/mlp/gate": (f"{p}mlp.gate_proj.weight", "T"),
-                f"layers/{i}/mlp/up": (f"{p}mlp.up_proj.weight", "T"),
-                f"layers/{i}/mlp/down": (f"{p}mlp.down_proj.weight", "T"),
-                f"layers/{i}/ln1": (f"{p}input_layernorm.weight", ""),
-                f"layers/{i}/ln2": (f"{p}post_attention_layernorm.weight", ""),
-            }
-        )
-    return m
+        lp = params["layers"][i]
+        qkv = np.stack([t(p + "self_attn.q_proj.weight"),
+                        t(p + "self_attn.k_proj.weight"),
+                        t(p + "self_attn.v_proj.weight")], axis=1)
+        lp["attn"]["wqkv"] = jnp.asarray(
+            qkv.reshape(D, 3, H, Dh), dtype)
+        lp["attn"]["wo"] = jnp.asarray(t(p + "self_attn.o_proj.weight"), dtype)
+        gu = np.stack([t(p + "mlp.gate_proj.weight"),
+                       t(p + "mlp.up_proj.weight")], axis=1)
+        lp["mlp"]["wgu"] = jnp.asarray(gu.reshape(D, 2, I), dtype)
+        lp["mlp"]["down"] = jnp.asarray(t(p + "mlp.down_proj.weight"), dtype)
+        lp["ln1"] = jnp.asarray(state[p + "input_layernorm.weight"],
+                                jnp.float32)
+        lp["ln2"] = jnp.asarray(state[p + "post_attention_layernorm.weight"],
+                                jnp.float32)
+    params["norm"] = jnp.asarray(state["norm.weight"], jnp.float32)
+    return params

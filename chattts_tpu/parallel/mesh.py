@@ -44,13 +44,12 @@ def gpt_param_specs(cfg: GPTConfig) -> dict:
     """PartitionSpec tree for the transformer parameters (TP over heads/FFN)."""
     layer = {
         "attn": {
-            "wq": P(None, "tp"),
-            "wk": P(None, "tp"),
-            "wv": P(None, "tp"),
+            # fused (D, 3, H, Dh): heads shard over tp
+            "wqkv": P(None, None, "tp", None),
             "wo": P("tp", None),
         },
-        "mlp": {"gate": P(None, "tp"), "up": P(None, "tp"),
-                "down": P("tp", None)},
+        # fused (D, 2, I): FFN columns shard over tp
+        "mlp": {"wgu": P(None, None, "tp"), "down": P("tp", None)},
         "ln1": P(None),
         "ln2": P(None),
     }

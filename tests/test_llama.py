@@ -51,20 +51,18 @@ def hf_model(params):
     )
     m = LlamaModel(hf_cfg)
     sd = {}
+    D = CFG.hidden_size
     for i, lp in enumerate(params["layers"]):
         pre = f"layers.{i}."
-        sd[pre + "self_attn.q_proj.weight"] = torch.tensor(
-            np.asarray(lp["attn"]["wq"]).T)
-        sd[pre + "self_attn.k_proj.weight"] = torch.tensor(
-            np.asarray(lp["attn"]["wk"]).T)
-        sd[pre + "self_attn.v_proj.weight"] = torch.tensor(
-            np.asarray(lp["attn"]["wv"]).T)
+        wqkv = np.asarray(lp["attn"]["wqkv"]).reshape(D, 3, -1)
+        sd[pre + "self_attn.q_proj.weight"] = torch.tensor(wqkv[:, 0].T.copy())
+        sd[pre + "self_attn.k_proj.weight"] = torch.tensor(wqkv[:, 1].T.copy())
+        sd[pre + "self_attn.v_proj.weight"] = torch.tensor(wqkv[:, 2].T.copy())
         sd[pre + "self_attn.o_proj.weight"] = torch.tensor(
             np.asarray(lp["attn"]["wo"]).T)
-        sd[pre + "mlp.gate_proj.weight"] = torch.tensor(
-            np.asarray(lp["mlp"]["gate"]).T)
-        sd[pre + "mlp.up_proj.weight"] = torch.tensor(
-            np.asarray(lp["mlp"]["up"]).T)
+        wgu = np.asarray(lp["mlp"]["wgu"])
+        sd[pre + "mlp.gate_proj.weight"] = torch.tensor(wgu[:, 0].T.copy())
+        sd[pre + "mlp.up_proj.weight"] = torch.tensor(wgu[:, 1].T.copy())
         sd[pre + "mlp.down_proj.weight"] = torch.tensor(
             np.asarray(lp["mlp"]["down"]).T)
         sd[pre + "input_layernorm.weight"] = torch.tensor(np.asarray(lp["ln1"]))
