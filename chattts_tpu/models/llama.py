@@ -17,6 +17,7 @@ bfloat16 with f32 accumulation; RMSNorm runs in f32 like the HF reference.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -199,9 +200,17 @@ def decode_step(
     # in-place cache update at the end of the step.
     slot_ids = lax.broadcasted_iota(jnp.int32, (Tmax,), 0)
     cur_b = cur[:, None] if per_slot else cur
-    past_ok = key_valid & (slot_ids[None, :] < cur_b)
-    past_bias = jnp.where(past_ok, 0.0, _MASK_VALUE)[:, None, None, :]
     rows = jnp.arange(B)
+    use_pallas = os.environ.get("CHATTTS_PALLAS_ATTN", "") == "1"
+    if use_pallas:
+        # fused flash-style kernel reads [lo, hi) per row
+        lo = jnp.argmax(key_valid, axis=1).astype(jnp.int32)
+        lo = jnp.where(jnp.any(key_valid, axis=1), lo, 0)
+        hi = jnp.broadcast_to(cur, (B,)).astype(jnp.int32)
+        past_bias = None
+    else:
+        past_ok = key_valid & (slot_ids[None, :] < cur_b)
+        past_bias = jnp.where(past_ok, 0.0, _MASK_VALUE)[:, None, None, :]
 
     x = emb[:, None, :].astype(dtype)  # (B, 1, D)
     k_new, v_new = [], []
@@ -212,16 +221,26 @@ def decode_step(
         k = apply_rope(k, cos, sin)
         k_new.append(k)
         v_new.append(v)
-        s_past = jnp.einsum("bqhd,bkhd->bhqk", q, cache.k[li].astype(dtype),
-                            preferred_element_type=jnp.float32)
-        s_self = jnp.einsum("bqhd,bqhd->bhq", q, k,
-                            preferred_element_type=jnp.float32)[..., None]
-        scores = jnp.concatenate(
-            [s_past / np.sqrt(Dh) + past_bias, s_self / np.sqrt(Dh)], axis=-1)
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs[..., :Tmax],
-                       cache.v[li].astype(dtype))
-        o = o + probs[:, :, 0, Tmax:].transpose(0, 2, 1)[:, :, :, None] * v
+        if use_pallas:
+            from ..ops.pallas_attention import decode_attention
+
+            o = decode_attention(
+                q[:, 0], k[:, 0], v[:, 0], cache.k[li], cache.v[li], lo, hi
+            )[:, None].astype(dtype)  # (B, 1, H, Dh)
+        else:
+            s_past = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, cache.k[li].astype(dtype),
+                preferred_element_type=jnp.float32)
+            s_self = jnp.einsum("bqhd,bqhd->bhq", q, k,
+                                preferred_element_type=jnp.float32)[..., None]
+            scores = jnp.concatenate(
+                [s_past / np.sqrt(Dh) + past_bias, s_self / np.sqrt(Dh)],
+                axis=-1)
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", probs[..., :Tmax],
+                           cache.v[li].astype(dtype))
+            o = (o + probs[:, :, 0, Tmax:].transpose(0, 2, 1)[:, :, :, None]
+                 * v)
         x = x + o.reshape(B, 1, -1) @ lp["attn"]["wo"]
         h = rms_norm(x, lp["ln2"], eps)
         x = x + _mlp(lp["mlp"], h)
