@@ -68,6 +68,7 @@ class Chat:
         compile: bool = True,  # noqa: A002 - API parity; jit is always on
         coef: Optional[str] = None,
         seed: int = 0,
+        use_engine: bool = False,
     ) -> bool:
         """Load weights from a ChatTTS asset tree, or seeded-random init.
 
@@ -75,7 +76,12 @@ class Chat:
         ``CHATTTS_ASSETS``, ``custom_path`` or cwd).  ``source="random"``:
         initialize from a PRNG - every component is fully functional but
         untrained (for development, tests, benchmarks).
+
+        ``use_engine=True`` routes non-streaming code generation through the
+        continuous-batching engine (the reference's ``use_vllm=True`` analog,
+        ``gpt.py:62-73``) - better throughput when many segments queue.
         """
+        self.use_engine = use_engine
         assets = None
         if source != "random":
             assets = io_utils.find_assets_dir(custom_path)
@@ -424,8 +430,64 @@ class Chat:
         )
         return next(self.generator.generate(req, self.context))
 
+    def _engine_for_code(self):
+        """Lazily build the continuous-batching engine for code generation."""
+        if getattr(self, "_code_engine", None) is None:
+            from .engine.batching import Engine, EngineConfig
+
+            rt = self.config.runtime
+            self._code_engine = Engine(
+                self.config.gpt,
+                EngineConfig(
+                    max_num_seqs=8,
+                    max_prompt_len=max(rt.prefill_bucket * 4, 64),
+                    max_new_tokens=rt.decode_bucket * 8,
+                    chunk_steps=32,
+                    infer_text=False,
+                    collect_hidden=True,
+                ),
+                self.gpt_params, self.embed_params,
+                spk_emb_ids=self.tokenizer.spk_emb_ids)
+        return self._code_engine
+
+    def _infer_code_engine(self, text, params: "Chat.InferCodeParams"):
+        """Engine-backed batch code generation (use_vllm analog)."""
+        from .engine.batching import EngineRequest
+
+        cfg = self.config.gpt
+        eng = self._engine_for_code()
+        prompts = Speaker.decorate_code_prompts(
+            list(text), params.prompt, params.txt_smp, params.spk_emb)
+        code_prompt = (Speaker.decode_prompt(params.spk_smp)
+                       if params.spk_smp is not None else None)
+        ids, attn, tmask = self.tokenizer.encode(
+            prompts, cfg.num_vq, prompt=code_prompt)
+        temp = (np.asarray(params.temperature, np.float32)
+                if isinstance(params.temperature, list)
+                else np.full((cfg.num_vq,), params.temperature, np.float32))
+        spk = (Speaker.decode(params.spk_emb)
+               if params.spk_emb is not None else None)
+        reqs = []
+        for b in range(ids.shape[0]):
+            n = int(attn[b].sum())
+            reqs.append(EngineRequest(
+                request_id=f"chat-{b}",
+                ids=ids[b, ids.shape[1] - n :],
+                text_mask=tmask[b, ids.shape[1] - n :],
+                temperature=temp, top_p=params.top_P, top_k=params.top_K,
+                repetition_penalty=params.repetition_penalty,
+                min_new=params.min_new_token,
+                max_new=params.max_new_token, spk_vec=spk))
+        outs = eng.generate(reqs)
+        yield GenerationOutputs(
+            ids=[o.ids for o in outs],
+            hiddens=[o.hiddens for o in outs],
+            finished=np.asarray([o.finish_reason == "eos" for o in outs]))
+
     def _infer_code(self, text: List[str], stream: bool, return_hidden: bool,
                     params: "Chat.InferCodeParams"):
+        if getattr(self, "use_engine", False) and not stream:
+            return self._infer_code_engine(text, params)
         cfg = self.config.gpt
         if isinstance(params.temperature, list):
             temperature = np.asarray(params.temperature, np.float32)

@@ -114,3 +114,16 @@ def test_unload_reload(tiny_config):
     assert not c.has_loaded()
     c.load(source="random", seed=1)
     assert c.has_loaded()
+
+
+def test_use_engine_path(tiny_config):
+    """use_engine=True (the reference's use_vllm analog) produces audio via
+    the continuous-batching engine."""
+    c = Chat(config=tiny_config)
+    c.load(source="random", seed=0, use_engine=True)
+    wavs = c.infer(["one", "two", "three"], skip_refine_text=True,
+                   split_text=False,
+                   params_infer_code=_code_params(max_new_token=10))
+    assert len(wavs) == 3
+    for w in wavs:
+        assert w.dtype == np.float32
