@@ -203,14 +203,27 @@ def decode_step(
     rows = jnp.arange(B)
     use_pallas = os.environ.get("CHATTTS_PALLAS_ATTN", "") == "1"
     if use_pallas:
-        # fused flash-style kernel reads [lo, hi) per row
+        # fused flash-style kernel reads strictly-past [lo, hi) per row and
+        # folds the current token in as a self column
         lo = jnp.argmax(key_valid, axis=1).astype(jnp.int32)
         lo = jnp.where(jnp.any(key_valid, axis=1), lo, 0)
         hi = jnp.broadcast_to(cur, (B,)).astype(jnp.int32)
-        past_bias = None
+        bias = None
     else:
-        past_ok = key_valid & (slot_ids[None, :] < cur_b)
-        past_bias = jnp.where(past_ok, 0.0, _MASK_VALUE)[:, None, None, :]
+        # write-then-attend: keys at slot > cur are future/garbage, key_valid
+        # kills left padding; the current token's k/v are written first so a
+        # single masked softmax over Tmax covers everything (fewest ops -
+        # this decode is latency-bound at ChatTTS batch sizes, and XLA
+        # aliases the per-layer cache updates in place)
+        readable = key_valid & (slot_ids[None, :] <= cur_b)
+        bias = jnp.where(readable, 0.0, _MASK_VALUE)[:, None, None, :]
+
+    def write(buf, val):
+        # buf (B, Tmax, H, Dh); val (B, 1, H, Dh)
+        if per_slot:
+            return buf.at[rows, cur].set(val[:, 0])
+        return lax.dynamic_update_slice(buf, val.astype(buf.dtype),
+                                        (0, cur, 0, 0))
 
     x = emb[:, None, :].astype(dtype)  # (B, 1, D)
     k_new, v_new = [], []
@@ -228,19 +241,13 @@ def decode_step(
                 q[:, 0], k[:, 0], v[:, 0], cache.k[li], cache.v[li], lo, hi
             )[:, None].astype(dtype)  # (B, 1, H, Dh)
         else:
-            s_past = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, cache.k[li].astype(dtype),
-                preferred_element_type=jnp.float32)
-            s_self = jnp.einsum("bqhd,bqhd->bhq", q, k,
-                                preferred_element_type=jnp.float32)[..., None]
-            scores = jnp.concatenate(
-                [s_past / np.sqrt(Dh) + past_bias, s_self / np.sqrt(Dh)],
-                axis=-1)
+            k_all = write(cache.k[li], k.astype(cache.k.dtype))
+            v_all = write(cache.v[li], v.astype(cache.v.dtype))
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(dtype),
+                                preferred_element_type=jnp.float32)
+            scores = scores / np.sqrt(Dh) + bias
             probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-            o = jnp.einsum("bhqk,bkhd->bqhd", probs[..., :Tmax],
-                           cache.v[li].astype(dtype))
-            o = (o + probs[:, :, 0, Tmax:].transpose(0, 2, 1)[:, :, :, None]
-                 * v)
+            o = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all.astype(dtype))
         x = x + o.reshape(B, 1, -1) @ lp["attn"]["wo"]
         h = rms_norm(x, lp["ln2"], eps)
         x = x + _mlp(lp["mlp"], h)
