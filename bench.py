@@ -72,6 +72,25 @@ def main():
     log(f"audio={audio_seconds:.2f}s wall={best:.3f}s "
         f"rtf={rtf:.2f} steps/s={steps_per_sec:.1f} "
         f"speech tokens/s/chip={steps_per_sec * BATCH * 4:.0f}")
+
+    # streaming time-to-first-audio (single utterance)
+    sp = Chat.InferCodeParams(
+        max_new_token=256, min_new_token=256, manual_seed=3,
+        stream_batch=16, pass_first_n_batches=0, stream_speed=12000,
+        show_tqdm=False)
+    for attempt in range(2):  # first pass compiles the streaming graphs
+        t0 = time.perf_counter()
+        gen = chat.infer("Time to first audio measurement sentence.",
+                         stream=True, skip_refine_text=True,
+                         params_infer_code=sp)
+        ttfa = None
+        for chunk in gen:
+            if chunk.size and ttfa is None:
+                ttfa = time.perf_counter() - t0
+            if ttfa is not None:
+                break
+        if attempt:
+            log(f"streaming TTFA: {ttfa * 1e3:.0f} ms")
     print(json.dumps({
         "metric": "rtf_batch8_e2e",
         "value": round(rtf, 3),

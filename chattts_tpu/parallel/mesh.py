@@ -28,6 +28,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import GPTConfig
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: the single call replacing the reference's whole
+    worker/NCCL/Ray layer (velocity/worker.py:207-238, llm_engine.py:151-256).
+
+    With no arguments jax.distributed reads the cluster env (TPU pods set it
+    automatically); afterwards ``jax.devices()`` spans all hosts and
+    :func:`make_mesh` lays the global mesh over them.  Safe to call when
+    already initialized or single-host (no-op).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        else:
+            jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # single-host / no cluster env: run locally
+
+
 def make_mesh(dp: Optional[int] = None, tp: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
