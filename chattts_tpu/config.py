@@ -136,6 +136,9 @@ class RuntimeConfig:
     decode_bucket: int = 256
     # mesh axis names: data-parallel over requests, tensor-parallel over heads
     mesh_axes: Tuple[str, str] = ("dp", "tp")
+    # streaming: reduced receptive-field guard for the FIRST emission only
+    # (time-to-first-audio lever; None = always exact)
+    stream_first_guard: Optional[int] = 16
 
 
 @dataclass(frozen=True)

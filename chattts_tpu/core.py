@@ -349,12 +349,14 @@ class Chat:
             self.config.decoder.stack if use_decoder
             else self.config.dvae.decoder,
             self.config.vocos, params.stream_batch)
+        fg = self.config.runtime.stream_first_guard
         sd = StreamingDecoder(
             self._stream_decode_fn(use_decoder), len(batch),
             self.config.gpt.hidden_size if use_decoder
             else self.config.gpt.num_vq,
             ctx=ctx, guard=guard, window=window,
-            int_features=not use_decoder)
+            int_features=not use_decoder,
+            first_guard=None if fg is None else min(fg, guard))
         pending = np.zeros((len(batch), 0), np.float32)
         pass_batch_count = 0
         last_items = []

@@ -73,12 +73,22 @@ class StreamingDecoder:
         guard: int = 56,
         window: int = 160,
         int_features: bool = False,
+        first_guard: Optional[int] = None,
     ):
+        """``first_guard`` (< guard) trades exactness of the very first
+        emission for latency: until anything has been emitted, samples only
+        ``first_guard`` positions from the cone edge may go out.  Conv-tail
+        influence decays fast with distance (see test_streaming first-guard
+        decay test), so a small first_guard is a TTFA lever with a bounded,
+        front-of-utterance-only approximation; everything after the first
+        emission uses the exact guard."""
         if window < ctx + guard + 8:
             raise ValueError("window too small for ctx + guard")
         self.decode_fn = decode_fn
         self.ctx = ctx
         self.guard = guard
+        self.first_guard = guard if first_guard is None else min(first_guard,
+                                                                 guard)
         self.window = window
         self.emitted = 0  # hidden positions fully emitted
         self.dtype = np.int32 if int_features else np.float32
@@ -103,7 +113,8 @@ class StreamingDecoder:
             for b, f in enumerate(feats_list):
                 grown[b, : f.shape[0]] = f
             self._feats = grown
-        target = n if final else n - self.guard
+        g = self.first_guard if self.emitted == 0 else self.guard
+        target = n if final else n - g
         out = []
         while self.emitted < target:
             lo = max(0, self.emitted - self.ctx)
@@ -118,7 +129,7 @@ class StreamingDecoder:
                 # (LayerNorm maps zero vectors to its bias), so which side
                 # gets padded matters.
                 lo = max(0, hi - self.window)
-            emit_hi = hi if is_last else min(hi - self.guard, target)
+            emit_hi = hi if is_last else min(hi - g, target)
             if emit_hi <= self.emitted:
                 break  # window cannot make progress (guard >= window - ctx)
             win = self._feats[:, lo:hi]

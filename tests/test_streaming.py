@@ -97,3 +97,31 @@ def test_streaming_facade_total_length(tiny_config):
     assert len(chunks) >= 2
     total = sum(c.shape[1] for c in chunks)
     assert total > 0
+
+
+def test_first_guard_error_decays(pipeline, tiny_config, rng):
+    """Reduced first-emission guard: the approximation is confined to the
+    positions nearest the cone edge and decays with distance."""
+    decode_jit, decode_np = pipeline
+    C = tiny_config.decoder.stack.idim * 2
+    T = 60
+    feats = rng.standard_normal((1, T, C)).astype(np.float32)
+    full = decode_np(feats)
+
+    sd = StreamingDecoder(lambda w: np.asarray(decode_jit(jnp.asarray(w))),
+                          1, C, ctx=40, guard=32, window=96, first_guard=8)
+    first = sd.update([feats[:, :48][0]], final=False)  # emits [0, 40)
+    assert first.shape[1] == 40 * 512
+    ref = full[:, : first.shape[1]]
+    err = np.abs(first - ref).max(axis=0)
+    # positions well inside the exact guard distance are bit-identical-ish
+    exact_until = (48 - 32) * 512
+    assert err[:exact_until].max() < 2e-4
+    # approximate region error is bounded and the overall scale is sane
+    assert err.max() < 0.15 * np.abs(ref).max()
+
+    # everything after the first emission is exact again
+    rest = sd.update([feats[0]], final=True)
+    inc = np.concatenate([first, rest], axis=1)
+    np.testing.assert_allclose(inc[:, exact_until + 8 * 512:],
+                               full[:, exact_until + 8 * 512:], atol=2e-4)
