@@ -137,8 +137,9 @@ class RuntimeConfig:
     # mesh axis names: data-parallel over requests, tensor-parallel over heads
     mesh_axes: Tuple[str, str] = ("dp", "tp")
     # streaming: reduced receptive-field guard for the FIRST emission only
-    # (time-to-first-audio lever; None = always exact)
-    stream_first_guard: Optional[int] = 16
+    # (time-to-first-audio lever; None = always exact). 8 positions lets the
+    # very first decode chunk emit audio.
+    stream_first_guard: Optional[int] = 8
 
 
 @dataclass(frozen=True)

@@ -369,11 +369,12 @@ class Chat:
             pass_batch_count += 1
             if pass_batch_count <= params.pass_first_n_batches:
                 continue
-            if pending.shape[1] >= params.stream_speed or final:
-                emit = pending[:, : params.stream_speed]
-                pending = pending[:, params.stream_speed :]
-                if emit.size:
-                    yield emit
+            # reference cadence: each yield emits UP TO stream_speed samples,
+            # shorter chunks included (core.py:487-499 clamps b to available)
+            emit = pending[:, : params.stream_speed]
+            pending = pending[:, params.stream_speed :]
+            if emit.size:
+                yield emit
         # tail flush: whatever remains, silence-stripped (core.py:501-503)
         if sd.emitted < sd.available:
             pending = np.concatenate(

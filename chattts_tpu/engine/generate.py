@@ -302,13 +302,18 @@ class Generator:
     def _materialize(self, req: GenerateRequest, st: GenState,
                      partial: bool = False) -> GenerationOutputs:
         T0 = st.ids.shape[1] - st.hiddens.shape[1]
-        ids_np = np.asarray(st.ids)
         end = np.asarray(st.end_idx)
-        hid_np = np.asarray(st.hiddens) if req.return_hidden else None
+        # slice on device before transferring: partial (streaming) yields
+        # happen every few dozen steps and the host link is expensive - only
+        # the generated prefix ever leaves the device
+        n_max = int(end.max()) if end.size else 0
+        ids_np = np.asarray(st.ids[:, T0 : T0 + n_max])
+        hid_np = (np.asarray(st.hiddens[:, :n_max])
+                  if req.return_hidden else None)
         out_ids, out_hid = [], []
         for b in range(ids_np.shape[0]):
             n = int(end[b])
-            seq = ids_np[b, T0 : T0 + n]
+            seq = ids_np[b, :n]
             out_ids.append(seq[:, 0].copy() if req.infer_text else seq.copy())
             if hid_np is not None:
                 out_hid.append(hid_np[b, :n].copy())
