@@ -61,6 +61,41 @@ class Chat:
     def has_loaded(self, use_decoder=True) -> bool:
         return self._loaded
 
+    def download_models(
+        self,
+        source: Literal["huggingface", "local", "custom"] = "local",
+        force_redownload: bool = False,
+        custom_path: Optional[str] = None,
+    ) -> Optional[str]:
+        """Locate (or fetch) the asset tree; returns its directory or None.
+
+        ``local``/``custom`` verify an existing tree (utils/dl checksums,
+        reference utils/dl.py:66-111).  ``huggingface`` downloads the
+        2Noise/ChatTTS snapshot via huggingface_hub (reference
+        core.py:87-123) - gated: returns None without network access.
+        """
+        from .utils import dl as dl_utils
+
+        if source in ("local", "custom"):
+            base = io_utils.find_assets_dir(custom_path)
+            if base is None:
+                self.logger.error("no asset tree found")
+                return None
+            if not dl_utils.check_all_assets(base):
+                self.logger.warning("asset verification failed for %s", base)
+            return base
+        try:
+            from huggingface_hub import snapshot_download
+
+            return snapshot_download(
+                repo_id="2Noise/ChatTTS",
+                allow_patterns=["*.yaml", "*.json", "*.safetensors"],
+                cache_dir=custom_path,
+                force_download=force_redownload)
+        except Exception as e:  # noqa: BLE001 - network optional
+            self.logger.error("huggingface download failed: %s", e)
+            return None
+
     def load(
         self,
         source: Literal["local", "custom", "random"] = "local",
