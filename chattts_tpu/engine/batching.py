@@ -149,9 +149,10 @@ def _state_specs(cfg: GPTConfig, ecfg: EngineConfig):
     """PartitionSpec tree matching SlotState: slots over dp, heads over tp."""
     from jax.sharding import PartitionSpec as P
 
+    L = cfg.num_hidden_layers
     return SlotState(
-        cache=KVCache(P(None, "dp", None, "tp", None),
-                      P(None, "dp", None, "tp", None)),
+        cache=KVCache(tuple(P("dp", None, "tp", None) for _ in range(L)),
+                      tuple(P("dp", None, "tp", None) for _ in range(L))),
         ids=P("dp", None, None),
         key_valid=P("dp", None),
         hidden=P("dp", None),
@@ -205,10 +206,10 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
             gp, emb, attn, positions, mini_cache, cfg)
 
         cache = KVCache(
-            lax.dynamic_update_slice(
-                st.cache.k, mini_cache.k, (0, slot, 0, 0, 0)),
-            lax.dynamic_update_slice(
-                st.cache.v, mini_cache.v, (0, slot, 0, 0, 0)),
+            tuple(lax.dynamic_update_slice(ck, mk, (slot, 0, 0, 0))
+                  for ck, mk in zip(st.cache.k, mini_cache.k)),
+            tuple(lax.dynamic_update_slice(cv, mv, (slot, 0, 0, 0))
+                  for cv, mv in zip(st.cache.v, mini_cache.v)),
         )
         ids_pad = jnp.pad(ids, ((0, 0), (0, Tc - Tp), (0, 0)))
         kv_pad = jnp.pad(attn, ((0, 0), (0, Tc - Tp)))

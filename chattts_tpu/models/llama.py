@@ -95,15 +95,29 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, Tmax, H, Dh)
-    v: jnp.ndarray  # (L, B, Tmax, H, Dh)
+    """Per-layer KV leaves: k/v are tuples of L arrays (B, Tmax, H, Dh).
+
+    Profiling showed a single stacked (L, B, T, H, Dh) buffer forces XLA to
+    materialize a relayout copy on every per-layer read (the 5-D tiled
+    layout differs from the 4-D slice's) and a full-cache copy on the
+    per-step write - together ~80% of decode step time.  Separate leaves
+    make each layer's update an in-place dynamic-update-slice and each read
+    a zero-copy operand.
+    """
+
+    k: tuple  # L x (B, Tmax, H, Dh)
+    v: tuple  # L x (B, Tmax, H, Dh)
 
     @staticmethod
     def create(cfg: GPTConfig, batch: int, max_len: int, dtype=jnp.bfloat16
                ) -> "KVCache":
-        shape = (cfg.num_hidden_layers, batch, max_len,
-                 cfg.num_attention_heads, cfg.head_dim)
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        shape = (batch, max_len, cfg.num_attention_heads, cfg.head_dim)
+        return KVCache(
+            tuple(jnp.zeros(shape, dtype)
+                  for _ in range(cfg.num_hidden_layers)),
+            tuple(jnp.zeros(shape, dtype)
+                  for _ in range(cfg.num_hidden_layers)),
+        )
 
 
 def _mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
@@ -161,10 +175,10 @@ def prefill(
 
     hidden = rms_norm(x, params["norm"], eps).astype(jnp.float32)
     new_cache = KVCache(
-        lax.dynamic_update_slice(
-            cache.k, jnp.stack(ks).astype(cache.k.dtype), (0, 0, 0, 0, 0)),
-        lax.dynamic_update_slice(
-            cache.v, jnp.stack(vs).astype(cache.v.dtype), (0, 0, 0, 0, 0)),
+        tuple(lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+              for ck, k in zip(cache.k, ks)),
+        tuple(lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+              for cv, v in zip(cache.v, vs)),
     )
     return hidden, new_cache
 
@@ -191,7 +205,7 @@ def decode_step(
     sin = jnp.asarray(sin_t)[positions][:, None, :]
 
     B = emb.shape[0]
-    Tmax = cache.k.shape[2]
+    Tmax = cache.k[0].shape[1]
     per_slot = cur.ndim == 1
     # strictly-past keys from the cache; the current token's k/v join the
     # softmax as an extra concatenated column instead of being written into
@@ -226,23 +240,27 @@ def decode_step(
                                         (0, cur, 0, 0))
 
     x = emb[:, None, :].astype(dtype)  # (B, 1, D)
-    k_new, v_new = [], []
+    k_leaves, v_leaves = [], []
     for li, lp in enumerate(params["layers"]):
         h = rms_norm(x, lp["ln1"], eps)
         q, k, v = _qkv(lp["attn"], h)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_new.append(k)
-        v_new.append(v)
         if use_pallas:
             from ..ops.pallas_attention import decode_attention
 
+            k_all = cache.k[li]
+            v_all = cache.v[li]
             o = decode_attention(
-                q[:, 0], k[:, 0], v[:, 0], cache.k[li], cache.v[li], lo, hi
+                q[:, 0], k[:, 0], v[:, 0], k_all, v_all, lo, hi
             )[:, None].astype(dtype)  # (B, 1, H, Dh)
+            k_leaves.append(write(k_all, k.astype(k_all.dtype)))
+            v_leaves.append(write(v_all, v.astype(v_all.dtype)))
         else:
-            k_all = write(cache.k[li], k.astype(cache.k.dtype))
-            v_all = write(cache.v[li], v.astype(cache.v.dtype))
+            k_all = write(cache.k[li], k.astype(cache.k[li].dtype))
+            v_all = write(cache.v[li], v.astype(cache.v[li].dtype))
+            k_leaves.append(k_all)
+            v_leaves.append(v_all)
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(dtype),
                                 preferred_element_type=jnp.float32)
             scores = scores / np.sqrt(Dh) + bias
@@ -253,15 +271,7 @@ def decode_step(
         x = x + _mlp(lp["mlp"], h)
 
     hidden = rms_norm(x[:, 0], params["norm"], eps).astype(jnp.float32)
-    k_stack = jnp.stack(k_new).astype(cache.k.dtype)  # (L, B, 1, H, Dh)
-    v_stack = jnp.stack(v_new).astype(cache.v.dtype)
-    if per_slot:
-        k_upd = cache.k.at[:, rows, cur].set(k_stack[:, :, 0])
-        v_upd = cache.v.at[:, rows, cur].set(v_stack[:, :, 0])
-    else:
-        k_upd = lax.dynamic_update_slice(cache.k, k_stack, (0, 0, cur, 0, 0))
-        v_upd = lax.dynamic_update_slice(cache.v, v_stack, (0, 0, cur, 0, 0))
-    return hidden, KVCache(k_upd, v_upd)
+    return hidden, KVCache(tuple(k_leaves), tuple(v_leaves))
 
 
 def load_from_state(params: dict, state: dict, cfg: GPTConfig,

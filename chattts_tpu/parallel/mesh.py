@@ -94,9 +94,11 @@ def embed_param_specs(cfg: GPTConfig) -> dict:
 
 def state_specs(cfg: GPTConfig) -> dict:
     """Decode-loop state: batch over dp, KV heads over tp (GenState order)."""
-    cache = P(None, "dp", None, "tp", None)  # (L, B, T, H, Dh)
+    leaf = P("dp", None, "tp", None)  # per-layer (B, T, H, Dh)
+    L = cfg.num_hidden_layers
     return {
-        "cache": {"k": cache, "v": cache},
+        "cache": {"k": tuple(leaf for _ in range(L)),
+                  "v": tuple(leaf for _ in range(L))},
         "ids": P("dp", None, None),
         "key_valid": P("dp", None),
         "hidden": P("dp", None),
