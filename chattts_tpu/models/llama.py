@@ -224,11 +224,12 @@ def decode_step(
         hi = jnp.broadcast_to(cur, (B,)).astype(jnp.int32)
         bias = None
     else:
-        # write-then-attend: keys at slot > cur are future/garbage, key_valid
-        # kills left padding; the current token's k/v are written first so a
-        # single masked softmax over Tmax covers everything (fewest ops -
-        # this decode is latency-bound at ChatTTS batch sizes, and XLA
-        # aliases the per-layer cache updates in place)
+        # write-then-attend over the full cache. Note: isolated microbenches
+        # say the read-after-write costs a per-layer copy and a concat-self
+        # variant should win, but measured END-TO-END the concat path is
+        # slower and erratic (168 vs 250 steps/s) - the unaligned (T+1)-wide
+        # softmax/concat causes worse layout churn than the copy. Keep the
+        # empirically fastest form; revisit with a fused Pallas step.
         readable = key_valid & (slot_ids[None, :] <= cur_b)
         bias = jnp.where(readable, 0.0, _MASK_VALUE)[:, None, None, :]
 
