@@ -59,7 +59,7 @@ def main():
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
 
     best = float("inf")
-    for i in range(3):
+    for i in range(5):  # heavy run-to-run variance on the shared chip
         wall, steps, wavs = run()
         log(f"run {i}: wall={wall:.3f}s steps={steps} "
             f"steps/s={steps / wall:.1f} wav={wavs.shape}")
