@@ -224,14 +224,16 @@ def decode_step(
         hi = jnp.broadcast_to(cur, (B,)).astype(jnp.int32)
         bias = None
     else:
-        # write-then-attend over the full cache. Note: isolated microbenches
-        # say the read-after-write costs a per-layer copy and a concat-self
-        # variant should win, but measured END-TO-END the concat path is
-        # slower and erratic (168 vs 250 steps/s) - the unaligned (T+1)-wide
-        # softmax/concat causes worse layout churn than the copy. Keep the
-        # empirically fastest form; revisit with a fused Pallas step.
-        readable = key_valid & (slot_ids[None, :] <= cur_b)
-        bias = jnp.where(readable, 0.0, _MASK_VALUE)[:, None, None, :]
+        # Attend over the strictly-past cache, merging the current token's
+        # self-attention column by a manual logsumexp instead of a concat.
+        # Rationale (measured): (a) reading a just-updated leaf forces XLA to
+        # copy the whole leaf per layer (read-after-write), ~1.1 ms/step;
+        # (b) a concat to width T+1 avoids the copy but the unaligned wide
+        # softmax is slower still.  The logsumexp merge keeps every wide op
+        # at width T AND turns the cache write into a pure write (the read
+        # happens before it), so the update stays in place.
+        past_ok = key_valid & (slot_ids[None, :] < cur_b)
+        bias = jnp.where(past_ok, 0.0, _MASK_VALUE)[:, None, None, :]
 
     def write(buf, val):
         # buf (B, Tmax, H, Dh); val (B, 1, H, Dh)
@@ -258,15 +260,25 @@ def decode_step(
             k_leaves.append(write(k_all, k.astype(k_all.dtype)))
             v_leaves.append(write(v_all, v.astype(v_all.dtype)))
         else:
-            k_all = write(cache.k[li], k.astype(cache.k[li].dtype))
-            v_all = write(cache.v[li], v.astype(cache.v[li].dtype))
-            k_leaves.append(k_all)
-            v_leaves.append(v_all)
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_all.astype(dtype),
+            k_past = cache.k[li]
+            v_past = cache.v[li]
+            s_past = jnp.einsum("bqhd,bkhd->bhqk", q, k_past.astype(dtype),
                                 preferred_element_type=jnp.float32)
-            scores = scores / np.sqrt(Dh) + bias
-            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-            o = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all.astype(dtype))
+            s_past = s_past / np.sqrt(Dh) + bias          # (B, H, 1, T)
+            s_self = (jnp.einsum("bqhd,bqhd->bhq", q, k,
+                                 preferred_element_type=jnp.float32)
+                      / np.sqrt(Dh))                      # (B, H, 1)
+            m = jnp.maximum(jnp.max(s_past, axis=-1), s_self)  # (B, H, 1)
+            p_past = jnp.exp(s_past - m[..., None])
+            denom = jnp.sum(p_past, axis=-1) + jnp.exp(s_self - m)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p_past.astype(dtype),
+                           v_past.astype(dtype))
+            w_self = (jnp.exp(s_self - m) / denom).astype(dtype)  # (B, H, 1)
+            o = (o / denom[:, :, :, None].transpose(0, 2, 1, 3).astype(dtype)
+                 + w_self.transpose(0, 2, 1)[..., None] * v)
+            # pure write (read happened above) -> stays in place
+            k_leaves.append(write(k_past, k.astype(k_past.dtype)))
+            v_leaves.append(write(v_past, v.astype(v_past.dtype)))
         x = x + o.reshape(B, 1, -1) @ lp["attn"]["wo"]
         h = rms_norm(x, lp["ln2"], eps)
         x = x + _mlp(lp["mlp"], h)
