@@ -53,7 +53,7 @@ def _resolve_voice(voice) -> str | None:
     return v  # assume portable spk_emb string
 
 
-def _infer(texts, body, stream=False):
+def _infer(texts, body, stream=False, split_text=True):
     p = Chat.InferCodeParams(
         spk_emb=_resolve_voice(body.get("voice") or body.get("spk_emb")),
         temperature=float(body.get("temperature", 0.3)),
@@ -68,7 +68,7 @@ def _infer(texts, body, stream=False):
         manual_seed=body.get("manual_seed"),
     )
     return _chat.infer(
-        texts, stream=stream,
+        texts, stream=stream, split_text=split_text,
         skip_refine_text=bool(body.get("skip_refine_text", False)),
         params_refine_text=rp, params_infer_code=p)
 
@@ -131,12 +131,30 @@ class Handler(BaseHTTPRequestHandler):
             return self._json_error(400, "'text' must be a non-empty string "
                                          "or list of strings")
         fmt = body.get("format", "wav")
+        want_zip = fmt == "zip"  # one file per text (reference main.py
+        # returns a zip of per-text audio, examples/api/main.py:71-119)
         with _lock:
             try:
-                wavs = _infer(texts, body)
+                wavs = _infer(texts, body,
+                              split_text=not want_zip)
             except Exception as e:  # noqa: BLE001
                 logger.error("inference failed: %s", e)
                 return self._json_error(500, f"inference failed: {e}")
+        if want_zip:
+            import io as _io
+            import zipfile
+
+            buf = _io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as zf:
+                for i, w in enumerate(wavs):
+                    zf.writestr(f"{i}.wav", wav_bytes(np.asarray(w)))
+            payload = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/zip")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+            return
         audio = np.concatenate([w for w in wavs if w.size]) if wavs else \
             np.zeros(1, np.float32)
         try:

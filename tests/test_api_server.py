@@ -78,3 +78,19 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server, "/nope", {})
     assert ei.value.code == 404
+
+
+def test_generate_voice_zip(server):
+    import io
+    import zipfile
+
+    body = {"text": ["one", "two"], "format": "zip", "skip_refine_text": True,
+            "max_new_token": 10, "min_new_token": 4, "manual_seed": 4}
+    with _post(server, "/generate_voice", body) as r:
+        data = r.read()
+    assert r.headers["Content-Type"] == "application/zip"
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        names = sorted(zf.namelist())
+        assert names == ["0.wav", "1.wav"]
+        for n in names:
+            assert zf.read(n)[:4] == b"RIFF"
