@@ -54,7 +54,10 @@ class EngineConfig:
     """Static engine geometry (compiled into the step functions)."""
 
     max_num_seqs: int = 8          # decode slots (vLLM max_num_seqs analog)
-    max_prompt_len: int = 256      # prompts left-pad to this length
+    max_prompt_len: int = 256      # prompt region size in the slot cache
+    # prompts left-pad to the smallest bucket that fits (one compiled prefill
+    # per bucket); None = single bucket of max_prompt_len
+    prompt_buckets: tuple = None
     max_new_tokens: int = 2048     # per-slot generation region
     chunk_steps: int = 16          # decode steps between host scheduling
     infer_text: bool = False       # text mode (refine pass) vs code mode
@@ -64,6 +67,13 @@ class EngineConfig:
     @property
     def cache_len(self) -> int:
         return self.max_prompt_len + self.max_new_tokens
+
+    @property
+    def buckets(self) -> tuple:
+        bs = self.prompt_buckets or (self.max_prompt_len,)
+        if any(b > self.max_prompt_len for b in bs):
+            raise ValueError("prompt bucket exceeds max_prompt_len")
+        return tuple(sorted(bs))
 
 
 @dataclass
@@ -188,50 +198,54 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
     max_penalized = (cfg.num_text_tokens if infer_text
                      else cfg.num_audio_tokens - 1)
 
-    def prefill_slot(gp, ep, st: SlotState, slot, ids, attn, tmask,
-                     spk_vec, spk_emb_ids, temp, top_p, top_k, rep, min_new,
-                     max_new) -> SlotState:
-        """Admit one request into `slot`: prompt forward + state update.
+    def make_prefill(Tpb: int):
+        """Prefill for a prompt bucket of Tpb positions: the prompt occupies
+        cache slots [Tp - Tpb, Tp); everything below stays padding."""
+        off = Tp - Tpb
 
-        ids/attn/tmask are (1, Tp, ...) already left-padded to Tp.
-        """
-        emb = embed_mod.embed_prompt(ep, ids, tmask)
-        n = spk_vec / jnp.maximum(jnp.linalg.norm(spk_vec), 1e-12)
-        cond = (ids[..., 0] == spk_emb_ids)[..., None]
-        emb = jnp.where(cond, n[None, None, :].astype(emb.dtype), emb)
-        positions = jnp.maximum(
-            jnp.cumsum(attn.astype(jnp.int32), axis=1) - 1, 0)
-        mini_cache = KVCache.create(cfg, 1, Tp)
-        hidden_all, mini_cache = llama.prefill(
-            gp, emb, attn, positions, mini_cache, cfg)
+        def prefill_slot(gp, ep, st: SlotState, slot, ids, attn, tmask,
+                         spk_vec, spk_emb_ids, temp, top_p, top_k, rep,
+                         min_new, max_new) -> SlotState:
+            emb = embed_mod.embed_prompt(ep, ids, tmask)
+            n = spk_vec / jnp.maximum(jnp.linalg.norm(spk_vec), 1e-12)
+            cond = (ids[..., 0] == spk_emb_ids)[..., None]
+            emb = jnp.where(cond, n[None, None, :].astype(emb.dtype), emb)
+            positions = jnp.maximum(
+                jnp.cumsum(attn.astype(jnp.int32), axis=1) - 1, 0)
+            mini_cache = KVCache.create(cfg, 1, Tpb)
+            hidden_all, mini_cache = llama.prefill(
+                gp, emb, attn, positions, mini_cache, cfg)
 
-        cache = KVCache(
-            tuple(lax.dynamic_update_slice(ck, mk, (slot, 0, 0, 0))
-                  for ck, mk in zip(st.cache.k, mini_cache.k)),
-            tuple(lax.dynamic_update_slice(cv, mv, (slot, 0, 0, 0))
-                  for cv, mv in zip(st.cache.v, mini_cache.v)),
-        )
-        ids_pad = jnp.pad(ids, ((0, 0), (0, Tc - Tp), (0, 0)))
-        kv_pad = jnp.pad(attn, ((0, 0), (0, Tc - Tp)))
-        return st._replace(
-            cache=cache,
-            ids=lax.dynamic_update_slice(st.ids, ids_pad, (slot, 0, 0)),
-            key_valid=lax.dynamic_update_slice(st.key_valid, kv_pad, (slot, 0)),
-            hidden=st.hidden.at[slot].set(hidden_all[0, -1]),
-            cur=st.cur.at[slot].set(Tp),
-            pos_next=st.pos_next.at[slot].set(
-                attn.astype(jnp.int32).sum()),
-            step_in=st.step_in.at[slot].set(0),
-            active=st.active.at[slot].set(True),
-            finish=st.finish.at[slot].set(False),
-            end_idx=st.end_idx.at[slot].set(0),
-            temperature=st.temperature.at[slot].set(temp),
-            top_p=st.top_p.at[slot].set(top_p),
-            top_k=st.top_k.at[slot].set(top_k),
-            rep_penalty=st.rep_penalty.at[slot].set(rep),
-            min_new=st.min_new.at[slot].set(min_new),
-            max_new=st.max_new.at[slot].set(max_new),
-        )
+            cache = KVCache(
+                tuple(lax.dynamic_update_slice(ck, mk, (slot, off, 0, 0))
+                      for ck, mk in zip(st.cache.k, mini_cache.k)),
+                tuple(lax.dynamic_update_slice(cv, mv, (slot, off, 0, 0))
+                      for cv, mv in zip(st.cache.v, mini_cache.v)),
+            )
+            ids_pad = jnp.pad(ids, ((0, 0), (off, Tc - Tp), (0, 0)))
+            kv_pad = jnp.pad(attn, ((0, 0), (off, Tc - Tp)))
+            return st._replace(
+                cache=cache,
+                ids=lax.dynamic_update_slice(st.ids, ids_pad, (slot, 0, 0)),
+                key_valid=lax.dynamic_update_slice(
+                    st.key_valid, kv_pad, (slot, 0)),
+                hidden=st.hidden.at[slot].set(hidden_all[0, -1]),
+                cur=st.cur.at[slot].set(Tp),
+                pos_next=st.pos_next.at[slot].set(
+                    attn.astype(jnp.int32).sum()),
+                step_in=st.step_in.at[slot].set(0),
+                active=st.active.at[slot].set(True),
+                finish=st.finish.at[slot].set(False),
+                end_idx=st.end_idx.at[slot].set(0),
+                temperature=st.temperature.at[slot].set(temp),
+                top_p=st.top_p.at[slot].set(top_p),
+                top_k=st.top_k.at[slot].set(top_k),
+                rep_penalty=st.rep_penalty.at[slot].set(rep),
+                min_new=st.min_new.at[slot].set(min_new),
+                max_new=st.max_new.at[slot].set(max_new),
+            )
+
+        return jax.jit(prefill_slot, donate_argnums=(2,))
 
     def step_body(carry):
         st, gp, ep, _ = carry
@@ -326,9 +340,9 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
         st, _, _, _ = lax.while_loop(cond, step_body, (st, gp, ep, jnp.int32(0)))
         return st
 
-    prefill_jit = jax.jit(prefill_slot, donate_argnums=(2,))
+    prefill_jits = {b: make_prefill(b) for b in ecfg.buckets}
     chunk_jit = jax.jit(decode_chunk, donate_argnums=(2,))
-    return prefill_jit, chunk_jit
+    return prefill_jits, chunk_jit
 
 
 # ---------------------------------------------------------------------------
@@ -388,10 +402,11 @@ class Engine:
     # -- public API ----------------------------------------------------
 
     def add_request(self, req: EngineRequest) -> None:
-        if req.ids.shape[0] > self.ecfg.max_prompt_len:
+        limit = max(self.ecfg.buckets)
+        if req.ids.shape[0] > limit:
             raise ValueError(
                 f"prompt length {req.ids.shape[0]} exceeds engine "
-                f"max_prompt_len {self.ecfg.max_prompt_len}")
+                f"prompt capacity {limit}")
         self.waiting.append(req)
 
     def abort_request(self, request_id: str) -> bool:
@@ -441,19 +456,19 @@ class Engine:
                 continue
             req = self.waiting.popleft()
             T0 = req.ids.shape[0]
-            Tp = ecfg.max_prompt_len
-            ids = np.zeros((1, Tp, self.cfg.num_vq), np.int32)
-            attn = np.zeros((1, Tp), np.bool_)
-            tmask = np.zeros((1, Tp), np.bool_)
-            ids[0, Tp - T0 :] = req.ids
-            attn[0, Tp - T0 :] = True
-            tmask[0, Tp - T0 :] = req.text_mask
+            Tpb = next(b for b in ecfg.buckets if b >= T0)
+            ids = np.zeros((1, Tpb, self.cfg.num_vq), np.int32)
+            attn = np.zeros((1, Tpb), np.bool_)
+            tmask = np.zeros((1, Tpb), np.bool_)
+            ids[0, Tpb - T0 :] = req.ids
+            attn[0, Tpb - T0 :] = True
+            tmask[0, Tpb - T0 :] = req.text_mask
             temp = np.asarray(req.temperature, np.float32)
             if temp.shape[0] != self.cfg.num_vq:
                 temp = np.full((self.cfg.num_vq,), float(temp[0]), np.float32)
             spk = (req.spk_vec if req.spk_vec is not None
                    else np.zeros((self.cfg.hidden_size,), np.float32))
-            self.state = self._prefill(
+            self.state = self._prefill[Tpb](
                 self.gpt_params, self.embed_params, self.state,
                 jnp.int32(s), jnp.asarray(ids), jnp.asarray(attn),
                 jnp.asarray(tmask), jnp.asarray(spk, jnp.float32),

@@ -153,3 +153,24 @@ def test_mesh_bad_dp_rejected(tiny_config, params):
     ecfg = EngineConfig(max_num_seqs=6, max_prompt_len=16, max_new_tokens=8)
     with pytest.raises(ValueError):
         Engine(tiny_config.gpt, ecfg, params[0], params[1], mesh=mesh)
+
+
+def test_prompt_buckets(tiny_config, params):
+    """Short prompts prefill in a small bucket, long ones in a larger bucket;
+    results keep per-request semantics."""
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params, prompt_buckets=(8, 16))
+    outs = eng.generate([_req(cfg, "b0", n=5, min_new=3, max_new=6),
+                         _req(cfg, "b1", n=12, min_new=3, max_new=6)])
+    assert len(outs) == 2
+    for o in outs:
+        assert 3 <= o.ids.shape[0] <= 6
+
+
+def test_prompt_bucket_validation(tiny_config, params):
+    from chattts_tpu.engine.batching import Engine, EngineConfig
+
+    ecfg = EngineConfig(max_num_seqs=2, max_prompt_len=16,
+                        max_new_tokens=8, prompt_buckets=(8, 32))
+    with pytest.raises(ValueError):
+        Engine(tiny_config.gpt, ecfg, params[0], params[1])
