@@ -483,6 +483,9 @@ class Chat:
                     chunk_steps=32,
                     infer_text=False,
                     collect_hidden=True,
+                    prompt_buckets=(max(rt.prefill_bucket, 16),
+                                    max(rt.prefill_bucket * 2, 32),
+                                    max(rt.prefill_bucket * 4, 64)),
                 ),
                 self.gpt_params, self.embed_params,
                 spk_emb_ids=self.tokenizer.spk_emb_ids)
