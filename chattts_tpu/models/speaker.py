@@ -47,6 +47,24 @@ class Speaker:
             return codecs.decode_spk_emb(spk_emb).astype(np.float32)
         return np.asarray(spk_emb, np.float32)
 
+    @staticmethod
+    def apply(emb, spk_emb: Union[str, np.ndarray], input_ids,
+              spk_emb_ids: int):
+        """Inject an L2-normalized speaker vector at [spk_emb] positions.
+
+        Functional counterpart of the reference's in-place torch.where
+        (speaker.py:21-52); jit-friendly.  emb (B, T, D); input_ids
+        (B, T, num_vq); returns the conditioned embeddings.  The jitted
+        prefill paths inline this same math - exposed here for API parity
+        and custom pipelines.
+        """
+        import jax.numpy as jnp
+
+        vec = jnp.asarray(Speaker.decode(spk_emb))
+        n = vec / jnp.maximum(jnp.linalg.norm(vec), 1e-12)
+        cond = (jnp.asarray(input_ids)[..., 0] == spk_emb_ids)[..., None]
+        return jnp.where(cond, n[None, None, :].astype(emb.dtype), emb)
+
     # -- code-prompt codecs (zero-shot clone) ------------------------------
 
     @staticmethod

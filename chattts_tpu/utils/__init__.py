@@ -1,3 +1,4 @@
-from . import io
+from . import audio, checkpoint, dl, io, llm, logger, native, normalizers, profiling, seeder
 
-__all__ = ["io"]
+__all__ = ["audio", "checkpoint", "dl", "io", "llm", "logger", "native",
+           "normalizers", "profiling", "seeder"]

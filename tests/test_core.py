@@ -127,3 +127,19 @@ def test_use_engine_path(tiny_config):
     assert len(wavs) == 3
     for w in wavs:
         assert w.dtype == np.float32
+
+
+def test_speaker_apply_function(tiny_config):
+    """Speaker.apply injects the normalized vector at [spk_emb] positions."""
+    import jax.numpy as jnp
+    from chattts_tpu.models.speaker import Speaker
+
+    D = tiny_config.gpt.hidden_size
+    emb = jnp.zeros((1, 3, D))
+    ids = np.zeros((1, 3, 4), np.int32)
+    ids[0, 1] = 777  # the [spk_emb] slot
+    vec = np.arange(D, dtype=np.float32) + 1
+    out = np.asarray(Speaker.apply(emb, vec, ids, 777))
+    assert np.allclose(out[0, 0], 0) and np.allclose(out[0, 2], 0)
+    n = vec / np.linalg.norm(vec)
+    np.testing.assert_allclose(out[0, 1], n, atol=1e-6)
