@@ -250,15 +250,14 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if use_pallas:
-            from ..ops.pallas_attention import decode_attention
+            from ..ops.pallas_decode import decode_attention_hbm
 
-            k_all = cache.k[li]
-            v_all = cache.v[li]
-            o = decode_attention(
-                q[:, 0], k[:, 0], v[:, 0], k_all, v_all, lo, hi
-            )[:, None].astype(dtype)  # (B, 1, H, Dh)
-            k_leaves.append(write(k_all, k.astype(k_all.dtype)))
-            v_leaves.append(write(v_all, v.astype(v_all.dtype)))
+            o, k_leaf, v_leaf = decode_attention_hbm(
+                q[:, 0], k[:, 0], v[:, 0], cache.k[li], cache.v[li],
+                lo, hi, hi)  # append at cur == hi
+            k_leaves.append(k_leaf)
+            v_leaves.append(v_leaf)
+            o = o[:, None].astype(dtype)  # (B, 1, H, Dh)
         else:
             k_past = cache.k[li]
             v_past = cache.v[li]

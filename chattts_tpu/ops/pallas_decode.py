@@ -171,6 +171,8 @@ def decode_attention_hbm(
     """
     B, T, H, Dh = k_cache.shape
     HD = H * Dh
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # CPU/testing: Pallas TPU kernels only interpret
     if T % t_chunk:
         t_chunk = min(t_chunk, T)
         while T % t_chunk:
