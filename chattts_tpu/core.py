@@ -82,7 +82,10 @@ class Chat:
                 self.logger.error("no asset tree found")
                 return None
             if not dl_utils.check_all_assets(base):
-                self.logger.warning("asset verification failed for %s", base)
+                # reference returns None on mismatch (core.py:126-129):
+                # never hand back a tree that fails the trusted checksums
+                self.logger.error("asset verification failed for %s", base)
+                return None
             return base
         try:
             from huggingface_hub import snapshot_download
@@ -119,10 +122,16 @@ class Chat:
         self.use_engine = use_engine
         assets = None
         if source != "random":
-            assets = io_utils.find_assets_dir(custom_path)
-            if assets is None:
+            if io_utils.find_assets_dir(custom_path) is None:
                 self.logger.warning(
                     "no ChatTTS assets found; falling back to random init")
+            else:
+                # verified against the vendored trusted sha256 map; a tree
+                # that fails verification is never loaded (reference
+                # core.py:126-129 returns False)
+                assets = self.download_models(source, custom_path=custom_path)
+                if assets is None:
+                    return False
         if assets is None:
             self._load_random(seed=seed, coef=coef)
         else:
@@ -447,8 +456,16 @@ class Chat:
             for i, ids in enumerate(items):
                 batch[i, : ids.shape[0]] = ids
             mel = self._decode_indices_jit(self.dvae_params, jnp.asarray(batch))
-        wav = self._vocos_jit(self.vocos_params, mel)
-        return np.asarray(wav)
+        wav = np.array(self._vocos_jit(self.vocos_params, mel))
+        # zero the decode-bucket padding tail: zero *features* are not inert
+        # through the conv/norm stacks, so with real weights the pad region
+        # vocodes to non-silence that the |x|>1e-5 strip would keep.  Each
+        # sequence's true length is Ti steps x 2 mel frames x hop samples
+        # (the reference pads only to the batch max, core.py:512-539).
+        spc = 2 * cfg.vocos.hop_length  # samples per code step
+        for i, x in enumerate(items):
+            wav[i, x.shape[0] * spc:] = 0.0
+        return wav
 
     # -- generation passes ---------------------------------------------
 

@@ -66,7 +66,10 @@ class EngineConfig:
 
     @property
     def cache_len(self) -> int:
-        return self.max_prompt_len + self.max_new_tokens
+        # rounded up to a multiple of 8 (Pallas DMA sublane alignment); the
+        # extra slots are never written
+        raw = self.max_prompt_len + self.max_new_tokens
+        return ((raw + 7) // 8) * 8
 
     @property
     def buckets(self) -> tuple:

@@ -94,6 +94,10 @@ def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
                apply_spk: bool):
     """Compile-cached (prefill_fn, chunk_fn) for one shape bucket."""
     num_vq = cfg.num_vq
+    # cache/buffer lengths stay multiples of 8 (Pallas DMA sublane alignment;
+    # T0 is already bucketed).  Generation still stops at the caller's
+    # max_new; the rounded tail slots are never written.
+    max_new = _round_up(max_new, 8)
     Tbuf = T0 + max_new
     eos_token = (cfg.num_audio_tokens - 1) if not infer_text else None
     max_penalized = (cfg.num_audio_tokens - 1) if not infer_text else cfg.num_text_tokens

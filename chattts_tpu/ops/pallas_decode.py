@@ -171,12 +171,18 @@ def decode_attention_hbm(
     """
     B, T, H, Dh = k_cache.shape
     HD = H * Dh
+    if T % 8:
+        # the aligned 8-row append RMW reads/writes [start8, start8+8) and
+        # chunk DMAs need 8-row alignment (Mosaic sublane rule); callers must
+        # size the cache to a multiple of 8 (generate/batching round up)
+        raise ValueError(f"cache length {T} must be a multiple of 8")
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # CPU/testing: Pallas TPU kernels only interpret
     if T % t_chunk:
         t_chunk = min(t_chunk, T)
         while T % t_chunk:
             t_chunk //= 2
+    assert t_chunk >= 8 and T % t_chunk == 0
     kernel = functools.partial(
         _kernel, t_chunk=t_chunk, t_total=T, heads=H,
         scale=1.0 / np.sqrt(Dh))

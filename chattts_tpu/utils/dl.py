@@ -1,18 +1,19 @@
 """Asset management: integrity verification of downloaded model files.
 
 Mirrors the reference's checker (``ChatTTS/utils/dl.py:12-111``): every model
-asset is verified against a sha256 map before loading.  Hashing goes through
-the native C++ library (mmap) when built, hashlib otherwise.  Downloading
-itself is out of scope in a zero-egress environment - assets are located via
-``CHATTTS_ASSETS``/custom path (utils/io.find_assets_dir); this module
-verifies and reports.
-
-The checksum map format matches the reference's ``res/sha256_map.json``
-(``sha256_asset_<Name>`` keys, regenerated by the C++ CLI in native/).
+asset is verified against the TRUSTED sha256 map vendored in the package
+(``chattts_tpu/res/sha256_map.json``, byte-identical keys/values to the
+reference's ``ChatTTS/res/sha256_map.json``) - never against a map shipped
+alongside the assets themselves, which would be self-attested.  Hashing goes
+through the native C++ library (mmap) when built, hashlib otherwise.
+Downloading itself is out of scope in a zero-egress environment - assets are
+located via ``CHATTTS_ASSETS``/custom path (utils/io.find_assets_dir); this
+module verifies and reports.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -21,6 +22,9 @@ from typing import Dict, Optional
 from .native import sha256_file
 
 logger = logging.getLogger(__name__)
+
+_VENDORED_MAP = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "res", "sha256_map.json")
 
 # the nine reference assets (tools/checksum/tmpl.go:3-14)
 ASSET_FILES = [
@@ -37,11 +41,17 @@ ASSET_FILES = [
 
 
 def _map_key(rel_path: str) -> str:
-    name = rel_path[len("asset/"):].replace("/", "_")
-    for ext in (".safetensors", ".json"):
-        if name.endswith(ext):
-            name = name[: -len(ext)]
+    """Key format of the reference map: extension joins with '_'
+    (e.g. asset/gpt/config.json -> sha256_asset_gpt_config_json)."""
+    name = rel_path[len("asset/"):].replace("/", "_").replace(".", "_")
     return f"sha256_asset_{name}"
+
+
+@functools.lru_cache(maxsize=1)
+def trusted_sha256_map() -> Dict[str, str]:
+    """The vendored known-good checksum map (reference res/sha256_map.json)."""
+    with open(_VENDORED_MAP) as f:
+        return json.load(f)
 
 
 def generate_sha256_map(base_dir: str) -> Dict[str, str]:
@@ -60,7 +70,8 @@ def check_asset(base_dir: str, rel_path: str, expected: Optional[str]) -> bool:
         logger.warning("missing asset %s", p)
         return False
     if expected is None:
-        return True
+        logger.warning("no trusted checksum for %s", rel_path)
+        return False
     got = sha256_file(p)
     if got != expected:
         logger.warning("checksum mismatch for %s: %s != %s", p, got, expected)
@@ -70,14 +81,14 @@ def check_asset(base_dir: str, rel_path: str, expected: Optional[str]) -> bool:
 
 def check_all_assets(base_dir: str,
                      sha256_map: Optional[Dict[str, str]] = None) -> bool:
-    """Verify the full asset tree (reference utils/dl.py:66-111)."""
+    """Verify the full asset tree against the TRUSTED vendored map
+    (reference utils/dl.py:66-111; map from ChatTTS/res/sha256_map.json).
+
+    Pass an explicit ``sha256_map`` only for self-generated asset trees
+    (e.g. re-exported weights hashed via :func:`generate_sha256_map`).
+    """
     if sha256_map is None:
-        map_path = os.path.join(base_dir, "sha256_map.json")
-        if os.path.isfile(map_path):
-            with open(map_path) as f:
-                sha256_map = json.load(f)
-        else:
-            sha256_map = {}
+        sha256_map = trusted_sha256_map()
     ok = True
     for rel in ASSET_FILES:
         if not check_asset(base_dir, rel, sha256_map.get(_map_key(rel))):

@@ -61,7 +61,13 @@ def sha256_file(path: str) -> str:
 
 
 def float_to_int16(audio: np.ndarray) -> np.ndarray:
-    """Peak-normalizing f32 -> i16 quantizer (tools/audio/np.py:7-11)."""
+    """f32 -> i16 quantizer (tools/audio/np.py:7-11 semantics).
+
+    A fixed 32767 gain, attenuated only when the peak exceeds full scale
+    (integer math: 32767*32768 // (ceil(peak)*32768)).  Quiet audio keeps
+    its loudness, and because the gain is constant for in-range signals,
+    independently quantized streaming chunks share the same loudness.
+    """
     x = np.ascontiguousarray(audio, dtype=np.float32).reshape(-1)
     lib = _load()
     if lib is not None:
@@ -71,5 +77,6 @@ def float_to_int16(audio: np.ndarray) -> np.ndarray:
             ctypes.c_int64(x.size),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
         return out.reshape(audio.shape)
-    am = 32767.0 / max(1e-7, float(np.max(np.abs(x))))
-    return np.multiply(x, am).astype(np.int16).reshape(audio.shape)
+    peak = float(np.max(np.abs(x))) if x.size else 0.0
+    am = (32767 * 32768) // (max(1, int(np.ceil(peak))) * 32768)
+    return np.multiply(x, float(am)).astype(np.int16).reshape(audio.shape)

@@ -78,31 +78,39 @@ void chattts_sha256_bytes(const uint8_t* data, uint64_t len, char* hex_out) {
   std::memcpy(hex_out, hex.c_str(), 65);
 }
 
-// Peak-normalizing float32 -> int16 quantizer (tools/audio/np.py:7-11
-// semantics: scale by 32767 / max(1e-7, |x|_max) elementwise, truncate).
-void chattts_float_to_int16(const float* in, int64_t n, int16_t* out) {
-  float peak = 1e-7f;
+namespace {
+
+// Quantizer gain matching tools/audio/np.py:7-11: a fixed 32767 gain for
+// in-range audio, attenuated only when the peak exceeds full scale
+// (integer math: 32767*32768 / (ceil(peak)*32768)).  Quiet audio keeps its
+// loudness instead of being peak-normalized up.
+float QuantizerScale(const float* in, int64_t n) {
+  float peak = 0.0f;
   for (int64_t i = 0; i < n; ++i) {
     float a = std::fabs(in[i]);
     if (a > peak) peak = a;
   }
-  const float scale = 32767.0f / peak;
+  int64_t ceil_peak = static_cast<int64_t>(std::ceil(peak));
+  if (ceil_peak < 1) ceil_peak = 1;
+  return static_cast<float>((32767LL * 32768LL) / (ceil_peak * 32768LL));
+}
+
+}  // namespace
+
+// float32 -> int16 quantizer (tools/audio/np.py:7-11 semantics: fixed 32767
+// gain, attenuate only when |x|_max > 1, truncate).
+void chattts_float_to_int16(const float* in, int64_t n, int16_t* out) {
+  const float scale = QuantizerScale(in, n);
   for (int64_t i = 0; i < n; ++i) {
     out[i] = static_cast<int16_t>(in[i] * scale);
   }
 }
 
-// Interleave C channel-major float buffers (C, N) -> int16 (N, C) with
-// shared peak normalization (batch wav export).
+// Interleave C channel-major float buffers (C, N) -> int16 (N, C) with a
+// shared quantizer gain (batch wav export).
 void chattts_interleave_to_int16(const float* in, int64_t channels,
                                  int64_t n, int16_t* out) {
-  float peak = 1e-7f;
-  const int64_t total = channels * n;
-  for (int64_t i = 0; i < total; ++i) {
-    float a = std::fabs(in[i]);
-    if (a > peak) peak = a;
-  }
-  const float scale = 32767.0f / peak;
+  const float scale = QuantizerScale(in, channels * n);
   for (int64_t c = 0; c < channels; ++c) {
     const float* src = in + c * n;
     for (int64_t i = 0; i < n; ++i) {

@@ -16,9 +16,10 @@ def test_wav_round_trip(tmp_path, rng):
     y, sr = audio.read_wav(p)
     assert sr == 24000
     assert y.shape == x.shape
-    # peak-normalized quantization: compare shapes after rescale
-    scale = np.abs(x).max()
-    np.testing.assert_allclose(y * scale, x * (32767 / 32768), atol=2e-3)
+    # fixed-gain quantization: in-range audio round-trips at unit gain
+    peak = float(np.abs(x).max())
+    gain = (32767 * 32768) // (max(1, int(np.ceil(peak))) * 32768)
+    np.testing.assert_allclose(y, x * (gain / 32768), atol=2e-3)
 
 
 def test_wav_bytes_header(rng):
@@ -49,10 +50,28 @@ def test_load_audio_wav(tmp_path, rng):
 
 
 def test_float_to_int16_reference_semantics():
+    # tools/audio/np.py:7-11: gain = 32767*32768 // (ceil(peak)*32768)
     x = np.array([0.5, -1.0, 0.25], np.float32)
     out = native.float_to_int16(x)
-    # scale = 32767 / max|x|; trunc toward zero (numba np.py:7-11)
     np.testing.assert_array_equal(out, [16383, -32767, 8191])
+    # quiet audio keeps its loudness (no peak normalization up)
+    quiet = np.array([0.1, -0.05], np.float32)
+    np.testing.assert_array_equal(
+        native.float_to_int16(quiet), [3276, -1638])
+    # out-of-range audio attenuates by ceil(peak)
+    loud = np.array([1.5, -0.75], np.float32)
+    np.testing.assert_array_equal(
+        native.float_to_int16(loud), [int(1.5 * 16383), int(-0.75 * 16383)])
+
+
+def test_float_to_int16_native_matches_fallback(rng):
+    x = (rng.standard_normal(4096) * 0.4).astype(np.float32)
+    a = native.float_to_int16(x)
+    # force the numpy fallback path
+    peak = float(np.max(np.abs(x)))
+    am = (32767 * 32768) // (max(1, int(np.ceil(peak))) * 32768)
+    b = np.multiply(x, float(am)).astype(np.int16)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_sha256_map_generation(tmp_path):
@@ -60,14 +79,42 @@ def test_sha256_map_generation(tmp_path):
     os.makedirs(base / "asset" / "gpt", exist_ok=True)
     (base / "asset" / "Embed.safetensors").write_bytes(b"fake")
     m = dl.generate_sha256_map(str(base))
-    assert "sha256_asset_Embed" in m
-    assert len(m["sha256_asset_Embed"]) == 64
+    assert "sha256_asset_Embed_safetensors" in m
+    assert len(m["sha256_asset_Embed_safetensors"]) == 64
     # verification passes with the generated map, fails after tamper
     assert dl.check_asset(str(base), "asset/Embed.safetensors",
-                          m["sha256_asset_Embed"])
+                          m["sha256_asset_Embed_safetensors"])
     (base / "asset" / "Embed.safetensors").write_bytes(b"tampered")
     assert not dl.check_asset(str(base), "asset/Embed.safetensors",
-                              m["sha256_asset_Embed"])
+                              m["sha256_asset_Embed_safetensors"])
+
+
+def test_trusted_map_matches_reference_keys():
+    # the vendored map must cover every asset with the upstream key format
+    m = dl.trusted_sha256_map()
+    for rel in dl.ASSET_FILES:
+        key = dl._map_key(rel)
+        assert key in m, key
+        assert len(m[key]) == 64
+
+
+def test_verification_rejects_tampered_tree(tmp_path):
+    # a self-attested sha256_map.json inside the tree must NOT be trusted
+    base = tmp_path / "assets"
+    os.makedirs(base / "asset" / "gpt", exist_ok=True)
+    os.makedirs(base / "asset" / "tokenizer", exist_ok=True)
+    for rel in dl.ASSET_FILES:
+        p = base / rel
+        p.write_bytes(b"attacker-controlled")
+    import json
+    (base / "sha256_map.json").write_text(
+        json.dumps(dl.generate_sha256_map(str(base))))
+    assert not dl.check_all_assets(str(base))
+
+    from chattts_tpu import Chat
+    chat = Chat()
+    assert chat.download_models("custom", custom_path=str(base)) is None
+    assert chat.load(source="custom", custom_path=str(base)) is False
 
 
 def test_transcode_wav_and_gate(rng):
