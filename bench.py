@@ -34,7 +34,9 @@ def main():
     BATCH = 8
     STEPS = 384  # forced decode length (~8.2 s of audio per sequence)
 
-    cfg = Config()
+    # int16 PCM on the host wire: the serving output format, half the
+    # device->host bytes (the tunnel link dominates e2e wall time here)
+    cfg = Config().with_runtime(wire_int16=True)
     chat = Chat(config=cfg)
     chat.load(source="random", seed=0)
     log(f"devices: {jax.devices()}")

@@ -140,6 +140,11 @@ class RuntimeConfig:
     # (time-to-first-audio lever; None = always exact). 8 positions lets the
     # very first decode chunk emit audio.
     stream_first_guard: Optional[int] = 8
+    # transfer finished waveforms host-ward as int16 PCM (the product's
+    # output format) instead of float32 - halves device->host traffic; the
+    # public API still returns float32 (dequantized).  Serving and bench
+    # enable it; default off to keep library numerics bit-identical.
+    wire_int16: bool = False
 
 
 @dataclass(frozen=True)

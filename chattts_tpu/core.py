@@ -220,6 +220,31 @@ class Chat:
             functools.partial(dvae_mod.encode_audio, cfg=cfg.dvae,
                               mel_cfg=cfg.vocos.mel))
 
+        spc = 2 * cfg.vocos.hop_length  # samples per code step
+        wire_int16 = cfg.runtime.wire_int16
+
+        def _device_decode(dec_params, voc_params, hid, end):
+            """hid (B, Tpad, D) on device, end (B,) kept lengths -> wav.
+
+            Zero-masks the per-sequence tails before the conv stacks (zero
+            features are not inert through norm/conv; the pad region would
+            otherwise vocode to kept artifacts) and again on the waveform,
+            then optionally quantizes to int16 so only final PCM crosses the
+            host link.
+            """
+            Tpad = hid.shape[1]
+            tmask = jnp.arange(Tpad)[None, :] < end[:, None]
+            hid = hid * tmask[..., None]
+            mel = dvae_mod.decode_from_hidden(dec_params, hid, cfg=cfg.decoder)
+            wav = vocos_mod.decode(voc_params, mel, cfg=cfg.vocos)
+            smask = jnp.arange(wav.shape[1])[None, :] < (end * spc)[:, None]
+            wav = wav * smask
+            if wire_int16:
+                return jnp.clip(wav * 32767.0, -32767, 32767).astype(jnp.int16)
+            return wav
+
+        self._device_decode_jit = jax.jit(_device_decode)
+
     def unload(self):
         logger = self.logger
         for attr in ("dvae_params", "decoder_params", "vocos_params",
@@ -440,10 +465,26 @@ class Chat:
 
     def _decode_to_wavs(self, result: GenerationOutputs, use_decoder: bool
                         ) -> np.ndarray:
+        cfg = self.config
+        if use_decoder and result.hiddens_dev is not None:
+            # device-resident path: the hiddens never left the chip; pad,
+            # mask, decode, vocode and quantize there, transferring only the
+            # finished PCM (the host link dominates e2e latency otherwise)
+            hid = result.hiddens_dev  # (B, n_max, D)
+            B, n_max = hid.shape[0], hid.shape[1]
+            if n_max == 0:
+                return np.zeros((B, 0), np.float32)
+            Tpad = _round_up(n_max, cfg.runtime.decode_bucket // 4 or 1)
+            hid = jnp.pad(hid, ((0, 0), (0, Tpad - n_max), (0, 0)))
+            wav = self._device_decode_jit(
+                self.decoder_params, self.vocos_params, hid, result.end_dev)
+            if cfg.runtime.wire_int16:
+                return np.asarray(wav).astype(np.float32) / 32767.0
+            return np.asarray(wav)
+
         items = result.hiddens if use_decoder else result.ids
         if not len(items) or max(x.shape[0] for x in items) == 0:
             return np.zeros((len(items), 0), np.float32)
-        cfg = self.config
         Tmax = max(x.shape[0] for x in items)
         Tpad = _round_up(Tmax, cfg.runtime.decode_bucket // 4 or 1)
         if use_decoder:

@@ -57,15 +57,33 @@ class GenState(NamedTuple):
 
 @dataclass
 class GenerationOutputs:
-    """Host-side results; mirrors GPT.GenerationOutputs (gpt.py:292-304)."""
+    """Host-side results; mirrors GPT.GenerationOutputs (gpt.py:292-304).
+
+    For the non-streaming decoder path the hidden states additionally stay
+    resident on the device (``hiddens_dev``/``end_dev``): the only consumer
+    is the jitted mel-decoder, and round-tripping (B, T, 768) float32
+    through the host costs more than the decode itself.
+    """
 
     ids: List[np.ndarray]       # per-seq (Ti,) text ids or (Ti, num_vq) codes
     hiddens: List[np.ndarray]   # per-seq (Ti, D) or empty
     finished: np.ndarray        # (B,) bool
+    hiddens_dev: Optional[jax.Array] = None  # (B, n_max, D) on device
+    end_dev: Optional[jax.Array] = None      # (B,) int32 kept lengths
+
+    def materialize_hiddens(self) -> List[np.ndarray]:
+        """Per-seq host copies of the hiddens (device path included)."""
+        if self.hiddens or self.hiddens_dev is None:
+            return self.hiddens
+        hid = np.asarray(self.hiddens_dev)
+        end = np.asarray(self.end_dev)
+        return [hid[b, : int(end[b])].copy() for b in range(hid.shape[0])]
 
     def destroy(self):  # API parity; GC handles the rest
         self.ids = []
         self.hiddens = []
+        self.hiddens_dev = None
+        self.end_dev = None
 
 
 class Interrupt:
@@ -312,8 +330,17 @@ class Generator:
         # the generated prefix ever leaves the device
         n_max = int(end.max()) if end.size else 0
         ids_np = np.asarray(st.ids[:, T0 : T0 + n_max])
-        hid_np = (np.asarray(st.hiddens[:, :n_max])
-                  if req.return_hidden else None)
+        hiddens_dev = end_dev = None
+        hid_np = None
+        if req.return_hidden:
+            if partial or req.stream_batch > 0:
+                # streaming consumers window the hiddens on host
+                hid_np = np.asarray(st.hiddens[:, :n_max])
+            else:
+                # final yield: leave the (B, n_max, D) buffer on device for
+                # the jitted mel decoder (no host round trip)
+                hiddens_dev = st.hiddens[:, :n_max]
+                end_dev = st.end_idx
         out_ids, out_hid = [], []
         for b in range(ids_np.shape[0]):
             n = int(end[b])
@@ -322,4 +349,5 @@ class Generator:
             if hid_np is not None:
                 out_hid.append(hid_np[b, :n].copy())
         return GenerationOutputs(
-            ids=out_ids, hiddens=out_hid, finished=np.asarray(st.finish))
+            ids=out_ids, hiddens=out_hid, finished=np.asarray(st.finish),
+            hiddens_dev=hiddens_dev, end_dev=end_dev)

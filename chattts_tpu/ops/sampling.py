@@ -51,13 +51,16 @@ def repetition_penalty(
     max_penalized: int,        # only columns < this are penalized
 ) -> jnp.ndarray:
     N, V = scores.shape
-    freq = jnp.zeros((N, V), jnp.float32)
-    rows = jnp.broadcast_to(jnp.arange(N)[:, None], window_ids.shape)
+    W = window_ids.shape[1]
+    # frequency count as a one-hot compare-reduce instead of a scatter-add:
+    # TPU scatters serialize; this is W vectorized compares over (N, V)
     ids = jnp.clip(window_ids, 0, V - 1)
-    freq = freq.at[rows, ids].add(window_mask.astype(jnp.float32))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W, V), 2)
+    hits = (ids[:, :, None] == col) & window_mask[:, :, None]
+    freq = hits.astype(jnp.float32).sum(axis=1)  # (N, V)
     if max_penalized < V:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-        freq = jnp.where(col < max_penalized, freq, 0.0)
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+        freq = jnp.where(col2 < max_penalized, freq, 0.0)
     pen = jnp.broadcast_to(jnp.asarray(penalty), (N,))[:, None]
     alpha = jnp.power(pen, freq)
     return jnp.where(scores < 0, scores * alpha, scores / alpha)
@@ -122,10 +125,35 @@ def sample(
     else:  # per-row penalties: always apply (1.0 rows are a no-op)
         scores = repetition_penalty(
             scores, window_ids, window_mask, rp, max_penalized)
-    scores = jnp.where(top_p_mask(scores, params.top_p), NEG_INF, scores)
-    scores = jnp.where(top_k_mask(scores, params.top_k), NEG_INF, scores)
-    eos_sup = jnp.broadcast_to(step < params.min_new, (scores.shape[0],))
-    scores = scores.at[:, eos_token].set(
-        jnp.where(eos_sup, NEG_INF, scores[:, eos_token])
-    )
-    return jax.random.categorical(rng, scores, axis=-1).astype(jnp.int32)
+
+    # The whole filter chain runs in SORTED space off one ascending sort
+    # (values + original indices in a single lax.sort - no gathers, no
+    # scatters; TPU lowers both poorly).  Equivalent to top_p_mask then
+    # top_k_mask for tie-free rows: top-p removes an ascending PREFIX, so
+    # the masked row stays sorted and the k-th-largest threshold is a
+    # positional read.
+    N, V = scores.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (N, V), 1)
+    s_asc, order = jax.lax.sort((scores, pos), dimension=-1, num_keys=1)
+
+    # top-p (HF ascending semantics, min_tokens_to_keep=3)
+    cum = jnp.cumsum(jax.nn.softmax(s_asc, axis=-1), axis=-1)
+    p = jnp.broadcast_to(jnp.asarray(params.top_p), (N,))[:, None]
+    keep_tail = pos >= V - 3
+    s_asc = jnp.where((cum <= 1.0 - p) & ~keep_tail, NEG_INF, s_asc)
+
+    # top-k (HF: strictly below the k-th largest goes; min_keep=3)
+    k = jnp.clip(jnp.maximum(jnp.asarray(params.top_k), 3), 1, V)
+    k = jnp.broadcast_to(k, (N,))[:, None]
+    kth = jnp.sum(jnp.where(pos == V - k, s_asc, 0.0), axis=-1, keepdims=True)
+    s_asc = jnp.where(s_asc < kth, NEG_INF, s_asc)
+
+    # EOS suppression while step < min_new (applied after the warpers, as in
+    # gpt.py:512-525); eos's sorted position found by comparing indices
+    eos_sup = jnp.broadcast_to(step < params.min_new, (N,))
+    s_asc = jnp.where(eos_sup[:, None] & (order == eos_token), NEG_INF, s_asc)
+
+    # categorical draw in sorted space, mapped back through `order`
+    j = jax.random.categorical(rng, s_asc, axis=-1)
+    return jnp.sum(jnp.where(pos == j[:, None], order, 0),
+                   axis=-1).astype(jnp.int32)

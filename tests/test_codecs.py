@@ -43,6 +43,21 @@ def test_spk_stat_golden():
     assert abs(float(m.mean())) < 1.0
 
 
+def test_b14_encode_golden_vs_upstream():
+    """Encode-direction golden against real pybase16384 output.
+
+    ``spk_stat.b14`` is vendored upstream data PRODUCED by the real
+    pybase16384 encoder (ChatTTS/config/config.py:132-134).  base16384 is a
+    canonical (deterministic, unambiguous) encoding, so re-encoding the
+    decoded bytes must reproduce the exact upstream string - this pins
+    b14_encode bit-for-bit, not just as the inverse of our own decoder.
+    """
+    s = load_spk_stat_string()
+    data = codecs.b14_decode(s)
+    assert len(data) == 768 * 2 * 2  # fp16 std+mean
+    assert codecs.b14_encode(data) == s
+
+
 def test_spk_emb_round_trip():
     emb = np.random.default_rng(1).standard_normal(768).astype(np.float16)
     s = codecs.encode_spk_emb(emb)

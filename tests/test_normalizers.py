@@ -45,6 +45,21 @@ def test_zh_normalizer():
     assert zh("50%") == "百分之五十"
 
 
+def test_homophone_replacement_vendored_map():
+    """The vendored upstream homophones_map.json loads by default and
+    replaces rare zh characters with common homophones (reference
+    norm.py:76-92, res/homophones_map.json)."""
+    norm = Normalizer()
+    assert len(norm.homophones_map) > 16000
+    # real pairs from the upstream map
+    out = norm("粡聲", do_text_normalization=False,
+               do_homophone_replacement=True)
+    assert "同" in out and "生" in out
+    kept = norm("粡", do_text_normalization=False,
+                do_homophone_replacement=False)
+    assert "粡" in kept
+
+
 def test_frontend_integration():
     norm = Normalizer()
     assert norm.register("en", normalizer_en())

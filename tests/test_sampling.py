@@ -78,6 +78,28 @@ def test_sample_deterministic_and_min_new():
     assert (np.asarray(got) == eos).all()
 
 
+def test_fused_sample_respects_standalone_masks(rng):
+    """The sorted-space fused chain in sample() must only ever draw tokens
+    that survive the sequential top_p_mask -> top_k_mask path (the
+    HF-golden-tested formulation)."""
+    N, V = 6, 64
+    logits = rng.standard_normal((N, V)).astype(np.float32) * 2
+    sp = sampling.SamplingParams(
+        temperature=jnp.ones((1,)), top_p=jnp.float32(0.6),
+        top_k=jnp.int32(5), repetition_penalty=jnp.float32(1.0),
+        min_new=jnp.int32(0))
+    win = jnp.zeros((N, 16), jnp.int32)
+    wm = jnp.zeros((N, 16), jnp.bool_)
+    s = jnp.asarray(logits)
+    s1 = jnp.where(sampling.top_p_mask(s, jnp.float32(0.6)), -np.inf, s)
+    s2 = jnp.where(sampling.top_k_mask(s1, jnp.int32(5)), -np.inf, s1)
+    kept = np.asarray(s2) > -np.inf
+    for seed in range(30):
+        got = np.asarray(sampling.sample(
+            jax.random.PRNGKey(seed), s, sp, win, wm, jnp.int32(3), V - 1, V))
+        assert all(kept[n, got[n]] for n in range(N))
+
+
 def test_greedy_like_sampling():
     """top_k=1 reduces to argmax regardless of key."""
     logits = jnp.asarray(
