@@ -17,7 +17,6 @@ bfloat16 with f32 accumulation; RMSNorm runs in f32 like the HF reference.
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -210,24 +209,17 @@ def decode_step(
     slot_ids = lax.broadcasted_iota(jnp.int32, (Tmax,), 0)
     cur_b = cur[:, None] if per_slot else cur
     rows = jnp.arange(B)
-    use_pallas = os.environ.get("CHATTTS_PALLAS_ATTN", "") == "1"
-    if use_pallas:
-        # fused flash-style kernel reads strictly-past [lo, hi) per row and
-        # folds the current token in as a self column
-        lo = jnp.argmax(key_valid, axis=1).astype(jnp.int32)
-        lo = jnp.where(jnp.any(key_valid, axis=1), lo, 0)
-        hi = jnp.broadcast_to(cur, (B,)).astype(jnp.int32)
-        bias = None
-    else:
-        # Write-then-attend: the current token's k/v are written into the
-        # cache FIRST and the softmax runs over [.. cur] inclusive.  The
-        # attention read then depends on the written buffer, so XLA keeps
-        # the dynamic-update-slice in place inside the decode loop.
-        # Measured in-loop at (B=8, T=416): 1.33 ms/step vs 1.76 ms for the
-        # previous strictly-past + logsumexp-self-merge formulation, whose
-        # read-before-write left XLA copying cache leaves in the loop body.
-        ok = key_valid & (slot_ids[None, :] <= cur_b)
-        bias = jnp.where(ok, 0.0, _MASK_VALUE)[:, None, None, :]
+    # Write-then-attend: the current token's k/v are written into the
+    # cache FIRST and the softmax runs over [.. cur] inclusive.  The
+    # attention read then depends on the written buffer, so XLA keeps
+    # the dynamic-update-slice in place inside the decode loop.
+    # Measured in-loop at (B=8, T=416): 1.33 ms/step vs 1.76 ms for the
+    # previous strictly-past + logsumexp-self-merge formulation, whose
+    # read-before-write left XLA copying cache leaves in the loop body.
+    # (On TPU the generator path goes through the fused whole-step Pallas
+    # kernel instead - ops/pallas_step.py, ~0.96 ms/step.)
+    ok = key_valid & (slot_ids[None, :] <= cur_b)
+    bias = jnp.where(ok, 0.0, _MASK_VALUE)[:, None, None, :]
 
     def write(buf, val):
         # buf (B, Tmax, H, Dh); val (B, 1, H, Dh)
@@ -243,25 +235,15 @@ def decode_step(
         q, k, v = _qkv(lp["attn"], h)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if use_pallas:
-            from ..ops.pallas_decode import decode_attention_hbm
-
-            o, k_leaf, v_leaf = decode_attention_hbm(
-                q[:, 0], k[:, 0], v[:, 0], cache.k[li], cache.v[li],
-                lo, hi, hi)  # append at cur == hi
-            k_leaves.append(k_leaf)
-            v_leaves.append(v_leaf)
-            o = o[:, None].astype(dtype)  # (B, 1, H, Dh)
-        else:
-            k_cache = write(cache.k[li], k)
-            v_cache = write(cache.v[li], v)
-            k_leaves.append(k_cache)
-            v_leaves.append(v_cache)
-            s = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache.astype(dtype),
-                           preferred_element_type=jnp.float32)
-            s = s / np.sqrt(Dh) + bias                    # (B, H, 1, T)
-            p = jax.nn.softmax(s, axis=-1).astype(dtype)
-            o = jnp.einsum("bhqk,bkhd->bqhd", p, v_cache.astype(dtype))
+        k_cache = write(cache.k[li], k)
+        v_cache = write(cache.v[li], v)
+        k_leaves.append(k_cache)
+        v_leaves.append(v_cache)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        s = s / np.sqrt(Dh) + bias                    # (B, H, 1, T)
+        p = jax.nn.softmax(s, axis=-1).astype(dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v_cache.astype(dtype))
         x = x + o.reshape(B, 1, -1) @ lp["attn"]["wo"]
         h = rms_norm(x, lp["ln2"], eps)
         x = x + _mlp(lp["mlp"], h)

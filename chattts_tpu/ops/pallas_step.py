@@ -1,0 +1,365 @@
+"""Fused whole-decode-step Pallas TPU kernel.
+
+One ``pallas_call`` per autoregressive step covers ALL transformer layers
+(the work the reference does eagerly per step at ``ChatTTS/model/gpt.py:
+394-618``): rmsnorm -> fused qkv -> rope -> cache append -> attention ->
+out-proj -> rmsnorm -> SwiGLU MLP, for every layer, in a single dispatch.
+
+Why a megakernel: the decode step is HBM-bandwidth-bound (weights ~19 MB +
+KV ~10 MB per layer per step) and XLA's per-op execution leaves measured
+~1.26 ms/step at (B=8, T=448) vs a ~0.7 ms byte-movement floor.  Here the
+data movement is explicit:
+
+* **weight slabs**: all per-layer weights are pre-packed into square
+  (D, D) bf16 slabs - ``[q | k | v | wo | gate... | up... | down...]`` -
+  and streamed HBM->VMEM through a 4-deep ring of async copies, so slab
+  ``g+4`` loads while slab ``g`` multiplies.  Every matmul is a plain
+  (B, D) @ (D, D) MXU op with f32 accumulation.
+* **KV cache** stays in HBM in flat (L, B, T, HD) layout (lane-aligned;
+  the (H, Dh)=(12, 64) head layout pads 2.67x on TPU tiles).  Chunks of
+  ``TC`` timesteps stream through a double buffer; chunks beyond the
+  visible range [0, cur] are skipped, so early steps read only the live
+  prefix.  The current token's k/v are appended in place first (aligned
+  8-row read-modify-write window, input/output aliasing) and attention
+  reads [lo, cur] inclusive - write-then-attend, no separate self column.
+* **rope** on the flat (B, HD) layout via a constant +-1 permutation
+  matrix R: ``rotate_half(x) == x @ R`` per 64-wide head block, so the
+  kernel never reshapes lanes.
+
+Scores per row are (TC, HD) @ (HD, H) block-diagonal selector matmuls with
+an online (flash-style) softmax across chunks - the round-1 HBM-cache
+attention kernel's scheme hoisted to whole-step scope (that kernel and the
+VMEM-staged variant are superseded by this one and were removed).
+
+Enable with ``CHATTTS_PALLAS_STEP=1`` (generator scalar-``cur`` path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+WRING = 4   # weight-slab ring depth
+KRING = 2   # kv chunk double buffer
+
+
+def rope_rotate_matrix(head_dim: int, hd: int) -> np.ndarray:
+    """(HD, HD) +-1 matrix with x @ R == rotate_half per head block."""
+    R = np.zeros((hd, hd), np.float32)
+    half = head_dim // 2
+    for base in range(0, hd, head_dim):
+        for d in range(half):
+            # out[d] = -x[d + half];  out[d + half] = x[d]
+            R[base + d + half, base + d] = -1.0
+            R[base + d, base + d + half] = 1.0
+    return R
+
+
+def pack_step_params(params: dict, cfg) -> dict:
+    """Pre-pack layer weights into the kernel's slab layout.
+
+    Returns {"W": (L*S, D, D) bf16, "ln1": (L, D) f32, "ln2": (L, D) f32,
+    "rope": (HD, HD) bf16}; S = 4 + 3*(I/D) square slabs per layer.
+    """
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    HD = H * Dh
+    if HD != D or I % D or D % 128:
+        raise ValueError("geometry not slab-compatible")
+    r = I // D
+    slabs, ln1, ln2 = [], [], []
+    for lp in params["layers"]:
+        wqkv = lp["attn"]["wqkv"].reshape(D, 3 * HD)
+        for j in range(3):
+            slabs.append(wqkv[:, j * D:(j + 1) * D])
+        slabs.append(lp["attn"]["wo"])
+        wgu = lp["mlp"]["wgu"].reshape(D, 2 * I)
+        for j in range(r):          # gate slabs
+            slabs.append(wgu[:, j * D:(j + 1) * D])
+        for j in range(r):          # up slabs
+            slabs.append(wgu[:, I + j * D: I + (j + 1) * D])
+        down = lp["mlp"]["down"]    # (I, D)
+        for j in range(r):          # contraction-chunk slabs
+            slabs.append(down[j * D:(j + 1) * D, :])
+        ln1.append(lp["ln1"])
+        ln2.append(lp["ln2"])
+    return {
+        "W": jnp.stack(slabs).astype(jnp.bfloat16),
+        "ln1": jnp.stack(ln1).astype(jnp.float32),
+        "ln2": jnp.stack(ln2).astype(jnp.float32),
+        "rope": jnp.asarray(rope_rotate_matrix(Dh, HD), jnp.bfloat16),
+    }
+
+
+def _rms(x, w, eps):
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * lax.rsqrt(var + eps) * w[None, :]
+
+
+def _kernel(cur_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
+            x_ref, rope_ref, w_hbm, kc_hbm, vc_hbm,
+            x_out, kc_out, vc_out,
+            wbuf, kbuf, vbuf, rowk, rowv, xs, gate_s, up_s,
+            wsem, ksem, vsem, rsem, *,
+            B: int, D: int, HD: int, H: int, I: int, T: int, TC: int,
+            S: int, L: int, eps: float, scale: float):
+    l = pl.program_id(0)
+    base = l * S
+    r = I // D
+    cur = cur_ref[0]
+    nc = cur // TC + 1  # visible chunks (attention reads [0, cur])
+    lo = lo_ref[...].astype(jnp.int32)  # (B, 1) first visible slot per row
+
+    def start_wdma(g):
+        cp = pltpu.make_async_copy(w_hbm.at[g], wbuf.at[g % WRING],
+                                   wsem.at[g % WRING])
+        cp.start()
+
+    def start_kv(li, c, slot):
+        pltpu.make_async_copy(kc_out.at[li, :, pl.ds(c * TC, TC)],
+                              kbuf.at[slot], ksem.at[slot]).start()
+        pltpu.make_async_copy(vc_out.at[li, :, pl.ds(c * TC, TC)],
+                              vbuf.at[slot], vsem.at[slot]).start()
+
+    @pl.when(l == 0)
+    def _():
+        xs[...] = x_ref[...]
+        for g in range(WRING):
+            start_wdma(g)
+
+    def mm(a, w):  # (B, D) f32 x (D, D) bf16 -> (B, D) f32 on the MXU
+        return lax.dot_general(a.astype(jnp.bfloat16), w,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def mm_slab(a, s):
+        """a @ slab ``base+s``: wait for its ring slot, multiply, and only
+        THEN refill the slot with slab ``base+s+WRING`` (wraps into the next
+        layer) - the refill must not be issued before the consuming matmul
+        or it races the read.  Ring slots are keyed by the global slab id so
+        the wait matches the start that filled the slot.
+        """
+        g = base + s
+        pltpu.make_async_copy(w_hbm.at[g], wbuf.at[g % WRING],
+                              wsem.at[g % WRING]).wait()
+        out = mm(a, wbuf[g % WRING])
+        nxt = g + WRING
+
+        @pl.when(nxt < L * S)
+        def _():
+            start_wdma(nxt)
+        return out
+
+    x = xs[...]  # (B, D) f32
+    h = _rms(x, ln1_ref[0], eps)
+    q = mm_slab(h, 0)
+    k = mm_slab(h, 1)
+    v = mm_slab(h, 2)
+
+    rope = rope_ref[...]
+    cosf = cosf_ref[...]  # (B, HD) f32
+    sinf = sinf_ref[...]
+    q = q * cosf + mm(q, rope) * sinf
+    k = k * cosf + mm(k, rope) * sinf
+
+    # ---- append k/v at cur (aligned 8-row RMW per batch row) -------------
+    start8 = (cur // 8) * 8
+    pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
+                          rsem.at[0]).start()
+    pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
+                          rsem.at[1]).start()
+    pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
+                          rsem.at[0]).wait()
+    pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
+                          rsem.at[1]).wait()
+    sel = lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == (cur - start8)
+    rowk[...] = jnp.where(sel, k[:, None, :].astype(rowk.dtype), rowk[...])
+    rowv[...] = jnp.where(sel, v[:, None, :].astype(rowv.dtype), rowv[...])
+    pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, 8)],
+                          rsem.at[0]).start()
+    pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
+                          rsem.at[1]).start()
+    pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, 8)],
+                          rsem.at[0]).wait()
+    pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
+                          rsem.at[1]).wait()
+
+    # ---- attention over chunks [0, cur], online softmax ------------------
+    head_of = lax.broadcasted_iota(jnp.int32, (HD, H), 0) // (HD // H)
+    colh = lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+    eh = (head_of == colh)
+    ehf = eh.astype(jnp.float32)
+    qms = [jnp.where(eh, (q[b] * scale)[:, None], 0.0).astype(jnp.bfloat16)
+           for b in range(B)]  # per-row (HD, H) block-diag selectors
+
+    start_kv(l, 0, 0)
+
+    def chunk_body(c, carry):
+        m_p, l_p, acc = carry  # (B, H), (B, H), (B, HD) f32
+        slot = c % KRING
+
+        @pl.when(c + 1 < nc)
+        def _():
+            start_kv(l, c + 1, (c + 1) % KRING)
+        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(c * TC, TC)],
+                              kbuf.at[slot], ksem.at[slot]).wait()
+        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(c * TC, TC)],
+                              vbuf.at[slot], vsem.at[slot]).wait()
+        kc = kbuf[slot]  # (B, TC, HD) bf16
+        vc = vbuf[slot]
+        t_ids = c * TC + lax.broadcasted_iota(jnp.int32, (1, TC, 1), 1)
+        rows = []
+        for b in range(B):
+            s_b = lax.dot_general(kc[b], qms[b], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            rows.append(s_b)  # (TC, H)
+        s = jnp.stack(rows)  # (B, TC, H)
+        vis = (t_ids >= lo[:, :, None]) & (t_ids <= cur)
+        s = jnp.where(vis, s, NEG)
+        m_n = jnp.maximum(m_p, jnp.max(s, axis=1))      # (B, H)
+        p = jnp.exp(s - m_n[:, None, :])                # (B, TC, H)
+        corr = jnp.exp(m_p - m_n)                       # (B, H)
+        l_n = l_p * corr + jnp.sum(p, axis=1)
+        # o(b, hD) += sum_t p(b,t,h(D)) v(b,t,hD)
+        pv_rows = []
+        for b in range(B):
+            p_exp = lax.dot_general(p[b].astype(jnp.bfloat16),
+                                    eh.astype(jnp.bfloat16),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            pv_rows.append(jnp.sum(p_exp * vc[b].astype(jnp.float32), axis=0))
+        pv = jnp.stack(pv_rows)  # (B, HD)
+        corr_exp = lax.dot_general(corr, ehf, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return m_n, l_n, acc * corr_exp + pv
+
+    m0 = jnp.full((B, H), NEG, jnp.float32)
+    l0 = jnp.zeros((B, H), jnp.float32)
+    acc0 = jnp.zeros((B, HD), jnp.float32)
+    m_f, l_f, acc = lax.fori_loop(0, nc, chunk_body, (m0, l0, acc0))
+    l_exp = lax.dot_general(l_f, ehf, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = acc / l_exp  # (B, HD)
+
+    x = x + mm_slab(o, 3)
+    h2 = _rms(x, ln2_ref[0], eps)
+    for j in range(r):
+        gate_s[:, j * D:(j + 1) * D] = mm_slab(h2, 4 + j)
+    for j in range(r):
+        up_s[:, j * D:(j + 1) * D] = mm_slab(h2, 4 + r + j)
+    act = jax.nn.silu(gate_s[...]) * up_s[...]  # (B, I) f32
+    for j in range(r):
+        x = x + mm_slab(act[:, j * D:(j + 1) * D], 4 + 2 * r + j)
+    xs[...] = x
+
+    @pl.when(l == L - 1)
+    def _():
+        x_out[...] = x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "t_chunk", "interpret"))
+def decode_step_fused(
+    packed: dict,            # pack_step_params output
+    emb: jnp.ndarray,        # (B, D) f32 current-token embedding
+    k_cache: jnp.ndarray,    # (L, B, T, HD) bf16 - consumed (aliased)
+    v_cache: jnp.ndarray,    # (L, B, T, HD) bf16 - consumed (aliased)
+    cur: jnp.ndarray,        # () i32 append/attend position (all rows)
+    lo: jnp.ndarray,         # (B,) i32 first visible slot per row
+    positions: jnp.ndarray,  # (B,) i32 rope position of the current token
+    cfg,
+    t_chunk: int = 128,
+    interpret: bool = False,
+):
+    """Run all layers of one decode step; returns (x_out, k_cache', v_cache').
+
+    ``x_out`` is the PRE-final-norm residual stream (B, D) f32 - callers
+    apply the final rms_norm.  Cache arrays alias in place.
+    """
+    from ..models.llama import rope_tables
+
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    HD = H * Dh
+    L = cfg.num_hidden_layers
+    B, T = k_cache.shape[1], k_cache.shape[2]
+    r = I // D
+    S = 4 + 3 * r
+    if T % 8:
+        raise ValueError("cache length must be a multiple of 8")
+    # largest multiple of 8 that divides T and fits the requested chunk
+    TC = min(t_chunk, T)
+    while T % TC:
+        TC -= 8
+    assert TC >= 8
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+
+    cos_t, sin_t = rope_tables(cfg)
+    cos = jnp.asarray(cos_t)[positions]  # (B, Dh)
+    sin = jnp.asarray(sin_t)[positions]
+    cosf = jnp.tile(cos, (1, H)).astype(jnp.float32)  # (B, HD)
+    sinf = jnp.tile(sin, (1, H)).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, B=B, D=D, HD=HD, H=H, I=I, T=T, TC=TC, S=S, L=L,
+        eps=cfg.rms_norm_eps, scale=1.0 / float(np.sqrt(Dh)))
+    x_out, k2, v2 = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cur
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lo (B, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cosf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sinf
+            # per-layer rows streamed by the grid (dynamic VMEM sublane
+            # indexing is not provably aligned; blocks are).  The (None,1,D)
+            # block shape keeps the last-two dims equal to the array dims
+            # (Mosaic block rule) while staying per-layer.
+            pl.BlockSpec((None, 1, D), lambda l: (l, 0, 0)),  # ln1 row
+            pl.BlockSpec((None, 1, D), lambda l: (l, 0, 0)),  # ln2 row
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x in
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rope matrix
+            pl.BlockSpec(memory_space=pltpu.HBM),    # W slabs
+            pl.BlockSpec(memory_space=pltpu.HBM),    # k cache
+            pl.BlockSpec(memory_space=pltpu.HBM),    # v cache
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, T, HD), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, B, T, HD), v_cache.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WRING, D, D), jnp.bfloat16),      # weight ring
+            pltpu.VMEM((KRING, B, TC, HD), k_cache.dtype),
+            pltpu.VMEM((KRING, B, TC, HD), v_cache.dtype),
+            pltpu.VMEM((B, 8, HD), k_cache.dtype),        # append window k
+            pltpu.VMEM((B, 8, HD), v_cache.dtype),        # append window v
+            pltpu.VMEM((B, D), jnp.float32),              # hidden carry
+            pltpu.VMEM((B, I), jnp.float32),              # gate
+            pltpu.VMEM((B, I), jnp.float32),              # up
+            pltpu.SemaphoreType.DMA((WRING,)),
+            pltpu.SemaphoreType.DMA((KRING,)),
+            pltpu.SemaphoreType.DMA((KRING,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(cur.reshape(1).astype(jnp.int32), lo.reshape(B, 1).astype(jnp.int32),
+      cosf, sinf,
+      packed["ln1"].reshape(L, 1, D), packed["ln2"].reshape(L, 1, D),
+      emb.astype(jnp.float32),
+      packed["rope"], packed["W"], k_cache, v_cache)
+    return x_out, k2, v2
