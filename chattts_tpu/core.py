@@ -115,9 +115,12 @@ class Chat:
         initialize from a PRNG - every component is fully functional but
         untrained (for development, tests, benchmarks).
 
-        ``use_engine=True`` routes non-streaming code generation through the
-        continuous-batching engine (the reference's ``use_vllm=True`` analog,
-        ``gpt.py:62-73``) - better throughput when many segments queue.
+        ``use_engine=True`` routes generation through the continuous-batching
+        engine (the reference's ``use_vllm=True`` analog, ``gpt.py:62-73``):
+        the refine-text pass, code generation, AND streaming all share the
+        engine's slots, so concurrent callers overlap instead of queueing;
+        per-request ``manual_seed``, ``ensure_non_empty`` and interrupt keep
+        generator-path semantics.
         """
         self.use_engine = use_engine
         assets = None
@@ -249,7 +252,7 @@ class Chat:
         logger = self.logger
         for attr in ("dvae_params", "decoder_params", "vocos_params",
                      "embed_params", "gpt_params", "generator", "tokenizer",
-                     "speaker"):
+                     "speaker", "_code_engine", "_text_engine"):
             if hasattr(self, attr):
                 delattr(self, attr)
         self.normalizer.destroy()
@@ -515,6 +518,34 @@ class Chat:
         cfg = self.config.gpt
         prompts = Speaker.decorate_text_prompts(text, params.prompt)
         ids, attn, tmask = self.tokenizer.encode(prompts, cfg.num_vq)
+        if getattr(self, "use_engine", False):
+            from .engine.batching import EngineRequest
+
+            eng = self._engine_for_text()
+            lens = attn.sum(1)
+            if lens.max() <= max(eng.ecfg.buckets):
+                reqs = []
+                for b in range(ids.shape[0]):
+                    n = int(lens[b])
+                    reqs.append(EngineRequest(
+                        request_id=f"refine-{id(params)}-{b}",
+                        ids=ids[b, ids.shape[1] - n :],
+                        text_mask=tmask[b, ids.shape[1] - n :],
+                        temperature=np.asarray([params.temperature],
+                                               np.float32),
+                        top_p=params.top_P, top_k=params.top_K,
+                        repetition_penalty=params.repetition_penalty,
+                        min_new=params.min_new_token,
+                        max_new=params.max_new_token,
+                        seed=params.manual_seed,
+                        ensure_non_empty=params.ensure_non_empty))
+                outs = eng.generate(reqs, context=self.context)
+                return GenerationOutputs(
+                    ids=[o.ids for o in outs], hiddens=[],
+                    finished=np.asarray(
+                        [o.finish_reason == "eos" for o in outs]))
+            # prompts exceed the engine's bucket capacity: one-shot
+            # generator path handles arbitrary lengths
         req = GenerateRequest(
             ids=ids, attn_mask=attn, text_mask=tmask, infer_text=True,
             eos_token=self.tokenizer.eos_token,
@@ -527,34 +558,64 @@ class Chat:
         return next(self.generator.generate(req, self.context))
 
     def _engine_for_code(self):
-        """Lazily build the continuous-batching engine for code generation."""
+        """Lazily build the continuous-batching engine for code generation.
+
+        Prompt capacity is sized from the position-embedding budget rather
+        than the prefill bucket (a spliced ``spk_smp`` clone prompt can run
+        hundreds of tokens); bucket prefills compile lazily on first use.
+        """
         if getattr(self, "_code_engine", None) is None:
             from .engine.batching import Engine, EngineConfig
 
             rt = self.config.runtime
+            max_new = rt.decode_bucket * 8
+            budget = self.config.gpt.max_position_embeddings - max_new
+            max_prompt = max(64, min(512, (budget // 64) * 64))
+            buckets = tuple(b for b in (64, 128, 256, 512)
+                            if b <= max_prompt) or (max_prompt,)
             self._code_engine = Engine(
                 self.config.gpt,
                 EngineConfig(
                     max_num_seqs=8,
-                    max_prompt_len=max(rt.prefill_bucket * 4, 64),
-                    max_new_tokens=rt.decode_bucket * 8,
-                    chunk_steps=32,
+                    max_prompt_len=max_prompt,
+                    max_new_tokens=max_new,
+                    chunk_steps=24,
                     infer_text=False,
                     collect_hidden=True,
-                    prompt_buckets=(max(rt.prefill_bucket, 16),
-                                    max(rt.prefill_bucket * 2, 32),
-                                    max(rt.prefill_bucket * 4, 64)),
+                    prompt_buckets=buckets,
+                    preempt_after_chunks=4,
                 ),
                 self.gpt_params, self.embed_params,
                 spk_emb_ids=self.tokenizer.spk_emb_ids)
         return self._code_engine
 
-    def _infer_code_engine(self, text, params: "Chat.InferCodeParams"):
-        """Engine-backed batch code generation (use_vllm analog)."""
+    def _engine_for_text(self):
+        """Text-mode engine for the refine pass under ``use_engine``."""
+        if getattr(self, "_text_engine", None) is None:
+            from .engine.batching import Engine, EngineConfig
+
+            self._text_engine = Engine(
+                self.config.gpt,
+                EngineConfig(
+                    max_num_seqs=8,
+                    max_prompt_len=256,
+                    max_new_tokens=512,
+                    chunk_steps=24,
+                    infer_text=True,
+                    text_eos_token=self.tokenizer.eos_token,
+                    collect_hidden=False,
+                    prompt_buckets=(64, 128, 256),
+                    preempt_after_chunks=4,
+                ),
+                self.gpt_params, self.embed_params,
+                spk_emb_ids=self.tokenizer.spk_emb_ids)
+        return self._text_engine
+
+    def _code_requests(self, text, params: "Chat.InferCodeParams",
+                       on_tokens=None):
         from .engine.batching import EngineRequest
 
         cfg = self.config.gpt
-        eng = self._engine_for_code()
         prompts = Speaker.decorate_code_prompts(
             list(text), params.prompt, params.txt_smp, params.spk_emb)
         code_prompt = (Speaker.decode_prompt(params.spk_smp)
@@ -570,23 +631,65 @@ class Chat:
         for b in range(ids.shape[0]):
             n = int(attn[b].sum())
             reqs.append(EngineRequest(
-                request_id=f"chat-{b}",
+                request_id=f"chat-{id(params)}-{b}",
                 ids=ids[b, ids.shape[1] - n :],
                 text_mask=tmask[b, ids.shape[1] - n :],
                 temperature=temp, top_p=params.top_P, top_k=params.top_K,
                 repetition_penalty=params.repetition_penalty,
                 min_new=params.min_new_token,
-                max_new=params.max_new_token, spk_vec=spk))
-        outs = eng.generate(reqs)
-        yield GenerationOutputs(
-            ids=[o.ids for o in outs],
-            hiddens=[o.hiddens for o in outs],
-            finished=np.asarray([o.finish_reason == "eos" for o in outs]))
+                max_new=params.max_new_token, spk_vec=spk,
+                seed=params.manual_seed,
+                ensure_non_empty=params.ensure_non_empty,
+                on_tokens=on_tokens))
+        return reqs
+
+    def _infer_code_engine(self, text, params: "Chat.InferCodeParams",
+                           stream: bool = False):
+        """Engine-backed code generation (use_vllm analog), incl. streaming:
+        slot callbacks accumulate per-request increments and each engine
+        chunk yields cumulative partials in the generator's output format."""
+        eng = self._engine_for_code()
+        if not stream:
+            outs = eng.generate(self._code_requests(text, params),
+                                context=self.context)
+            yield GenerationOutputs(
+                ids=[o.ids for o in outs],
+                hiddens=[o.hiddens for o in outs],
+                finished=np.asarray([o.finish_reason == "eos" for o in outs]))
+            return
+
+        acc_ids: List[List[np.ndarray]] = [[] for _ in text]
+        acc_hid: List[List[np.ndarray]] = [[] for _ in text]
+        done = [False] * len(text)
+        index = {}
+
+        def on_tokens(rid, new_ids, new_hid, finished):
+            b = index[rid]
+            acc_ids[b].append(np.asarray(new_ids))
+            if new_hid is not None:
+                acc_hid[b].append(np.asarray(new_hid))
+            done[b] = done[b] or finished
+
+        reqs = self._code_requests(text, params, on_tokens=on_tokens)
+        index.update({r.request_id: b for b, r in enumerate(reqs)})
+        for r in reqs:
+            eng.add_request(r)
+        Z = np.zeros((0, self.config.gpt.num_vq), np.int32)
+        Zh = np.zeros((0, self.config.gpt.hidden_size), np.float32)
+        while eng.has_unfinished():
+            if self.context.get():
+                eng.interrupt()
+                break
+            eng.step()
+            yield GenerationOutputs(
+                ids=[np.concatenate(a) if a else Z for a in acc_ids],
+                hiddens=[np.concatenate(a) if a else Zh for a in acc_hid],
+                finished=np.asarray(done))
 
     def _infer_code(self, text: List[str], stream: bool, return_hidden: bool,
                     params: "Chat.InferCodeParams"):
-        if getattr(self, "use_engine", False) and not stream:
-            return self._infer_code_engine(text, params)
+        if getattr(self, "use_engine", False):
+            return self._infer_code_engine(text, params, stream=stream)
         cfg = self.config.gpt
         if isinstance(params.temperature, list):
             temperature = np.asarray(params.temperature, np.float32)

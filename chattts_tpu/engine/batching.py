@@ -61,8 +61,16 @@ class EngineConfig:
     max_new_tokens: int = 2048     # per-slot generation region
     chunk_steps: int = 16          # decode steps between host scheduling
     infer_text: bool = False       # text mode (refine pass) vs code mode
-    text_eos_token: int = 0        # [Ebreak] id (text mode; static per engine)
+    text_eos_token: int = 0        # [Ebreak] id (text mode; default per engine)
     collect_hidden: bool = True    # accumulate per-step hiddens (decoder path)
+    # starvation control: with requests waiting and no free slot, the
+    # longest-remaining running request is preempted BY RECOMPUTE once it
+    # has held its slot for this many chunks (reference
+    # velocity/scheduler.py:222-249 preemption; None disables).  The
+    # preempted request re-queues at the back with its generated tokens as
+    # a teacher-forced prompt extension (no work lost), giving round-robin
+    # time slices under contention.
+    preempt_after_chunks: Optional[int] = None
 
     @property
     def cache_len(self) -> int:
@@ -92,12 +100,22 @@ class EngineRequest:
     repetition_penalty: float = 1.0
     min_new: int = 0
     max_new: int = 2048
-    eos_token: int = 0           # text mode only; code mode uses V_audio - 1
+    eos_token: Optional[int] = None  # text mode: per-request EOS override
     spk_vec: Optional[np.ndarray] = None
-    seed: Optional[int] = None
+    seed: Optional[int] = None   # per-request determinism (manual_seed)
+    ensure_non_empty: bool = True  # retry on immediate EOS (gpt.py:527-570)
     # streaming callback: fn(request_id, new_ids, new_hiddens, finished)
     on_tokens: Optional[Callable] = None
     arrival: float = field(default_factory=time.monotonic)
+    # -- internal (engine-managed) ---------------------------------------
+    _attempts: int = 0           # ensure_non_empty retries so far
+    _resume_ids: Optional[np.ndarray] = None      # (n, num_vq) generated
+    _resume_hiddens: Optional[np.ndarray] = None  # (n, D) before preemption
+    _emitted: int = 0            # tokens already streamed via on_tokens
+
+    @property
+    def resume_len(self) -> int:
+        return 0 if self._resume_ids is None else self._resume_ids.shape[0]
 
 
 @dataclass
@@ -127,9 +145,13 @@ class SlotState(NamedTuple):
     top_p: jnp.ndarray           # (S,)
     top_k: jnp.ndarray           # (S,)
     rep_penalty: jnp.ndarray     # (S,)
-    min_new: jnp.ndarray         # (S,)
-    max_new: jnp.ndarray         # (S,)
-    rng: jax.Array
+    min_new: jnp.ndarray         # (S,) GLOBAL bound (vs seq_off + step_in)
+    max_new: jnp.ndarray         # (S,) GLOBAL bound
+    eos: jnp.ndarray             # (S,) per-slot EOS token id
+    seq_off: jnp.ndarray         # (S,) tokens generated BEFORE this slot
+    #                              tenure (preemption-by-recompute resume)
+    rng: jax.Array               # (S, 2) uint32 per-slot keys: sampling for
+    #                              a slot depends only on its own key/depth
 
 
 def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int) -> SlotState:
@@ -154,7 +176,10 @@ def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int) -> SlotState:
         rep_penalty=jnp.ones((S,), jnp.float32),
         min_new=jnp.zeros((S,), jnp.int32),
         max_new=jnp.full((S,), ecfg.max_new_tokens, jnp.int32),
-        rng=jax.random.PRNGKey(seed),
+        eos=jnp.zeros((S,), jnp.int32),
+        seq_off=jnp.zeros((S,), jnp.int32),
+        rng=jnp.stack([jax.random.key_data(jax.random.PRNGKey(seed + i))
+                       for i in range(S)]).astype(jnp.uint32),
     )
 
 
@@ -182,7 +207,9 @@ def _state_specs(cfg: GPTConfig, ecfg: EngineConfig):
         rep_penalty=P("dp"),
         min_new=P("dp"),
         max_new=P("dp"),
-        rng=P(),
+        eos=P("dp"),
+        seq_off=P("dp"),
+        rng=P("dp", None),
     )
 
 
@@ -208,7 +235,7 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
 
         def prefill_slot(gp, ep, st: SlotState, slot, ids, attn, tmask,
                          spk_vec, spk_emb_ids, temp, top_p, top_k, rep,
-                         min_new, max_new) -> SlotState:
+                         min_new, max_new, eos, seq_off, key) -> SlotState:
             emb = embed_mod.embed_prompt(ep, ids, tmask)
             n = spk_vec / jnp.maximum(jnp.linalg.norm(spk_vec), 1e-12)
             cond = (ids[..., 0] == spk_emb_ids)[..., None]
@@ -246,14 +273,21 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
                 rep_penalty=st.rep_penalty.at[slot].set(rep),
                 min_new=st.min_new.at[slot].set(min_new),
                 max_new=st.max_new.at[slot].set(max_new),
+                eos=st.eos.at[slot].set(eos),
+                seq_off=st.seq_off.at[slot].set(seq_off),
+                rng=st.rng.at[slot].set(key),
             )
 
         return jax.jit(prefill_slot, donate_argnums=(2,))
 
     def step_body(carry):
         st, gp, ep, _ = carry
-        rng, sub = jax.random.split(st.rng)
         live = st.active & ~st.finish  # (S,)
+        gstep = st.seq_off + st.step_in  # global generated count per slot
+
+        # per-slot keys folded by global depth: a slot's draws depend only on
+        # its own (seed, depth), never on co-resident slots or engine history
+        sub_slot = jax.vmap(jax.random.fold_in)(st.rng, gstep)  # (S, 2)
 
         if infer_text:
             logits = embed_mod.head_text(ep, st.hidden)  # (S, Vt)
@@ -261,8 +295,10 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
             temp = st.temperature[:, 0]
             top_p, top_k = st.top_p, st.top_k
             rep = st.rep_penalty
-            step_rows = st.step_in
+            step_rows = gstep
             min_new_rows = st.min_new
+            eos_rows = st.eos
+            keys_rows = sub_slot
         else:
             logits = embed_mod.head_code(ep, st.hidden).reshape(
                 S * num_vq, cfg.num_audio_tokens)
@@ -271,15 +307,22 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
             top_p = jnp.repeat(st.top_p, num_vq)
             top_k = jnp.repeat(st.top_k, num_vq)
             rep = jnp.repeat(st.rep_penalty, num_vq)
-            step_rows = jnp.repeat(st.step_in, num_vq)
+            step_rows = jnp.repeat(gstep, num_vq)
             min_new_rows = jnp.repeat(st.min_new, num_vq)
+            eos_rows = jnp.repeat(st.eos, num_vq)
+            keys_rows = jax.vmap(jax.random.fold_in)(
+                jnp.repeat(sub_slot, num_vq, axis=0),
+                jnp.tile(jnp.arange(num_vq), S))
 
-        # per-slot trailing window (generated region only)
+        # per-slot trailing window over GENERATED tokens: the generated
+        # region starts at Tp - seq_off (a resumed request's prior tokens sit
+        # at the tail of its prompt and stay visible to the penalty)
         start = jnp.clip(st.cur - REP_WINDOW, 0, Tc - REP_WINDOW)  # (S,)
         gather_pos = start[:, None] + jnp.arange(REP_WINDOW)[None, :]
         win = jnp.take_along_axis(
             st.ids, gather_pos[:, :, None], axis=1)  # (S, W, num_vq)
-        wmask = (gather_pos >= Tp) & (gather_pos < st.cur[:, None])
+        wmask = ((gather_pos >= (Tp - st.seq_off)[:, None])
+                 & (gather_pos < st.cur[:, None]))
         if infer_text:
             win_rows = win[:, :, 0]
             wmask_rows = wmask
@@ -291,20 +334,20 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
             temperature=temp, top_p=top_p, top_k=top_k,
             repetition_penalty=rep, min_new=min_new_rows)
         ids_next = sampling.sample(
-            sub, logits, sp, win_rows, wmask_rows, step_rows,
-            eos_token, max_penalized)
+            keys_rows, logits, sp, win_rows, wmask_rows, step_rows,
+            eos_rows, max_penalized)
 
         if infer_text:
             token = jnp.broadcast_to(ids_next[:, None], (S, num_vq))
-            eos_hit = ids_next == eos_token
+            eos_hit = ids_next == st.eos
         else:
             token = ids_next.reshape(S, num_vq)
-            eos_hit = jnp.any(token == eos_token, axis=-1)
+            eos_hit = jnp.any(token == st.eos[:, None], axis=-1)
 
         # EOS drops the final token (reference end_idx semantics,
         # gpt.py:512-525,598-601); a length stop keeps it.
         eos_finish = live & eos_hit
-        length_hit = (st.step_in + 1) >= st.max_new
+        length_hit = (gstep + 1) >= st.max_new
         finish = st.finish | eos_finish | (live & length_hit)
 
         rows = jnp.arange(S)
@@ -332,7 +375,7 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
             cur=st.cur + live.astype(jnp.int32),
             pos_next=st.pos_next + live.astype(jnp.int32),
             step_in=st.step_in + live.astype(jnp.int32),
-            finish=finish, end_idx=end_idx, hiddens=hiddens, rng=rng)
+            finish=finish, end_idx=end_idx, hiddens=hiddens)
         return (st, gp, ep, carry[3] + 1)
 
     def decode_chunk(gp, ep, st: SlotState, n_steps) -> SlotState:
@@ -396,7 +439,8 @@ class Engine:
         self._prefill, self._chunk = _build_kernels(cfg, ecfg)
         self.waiting: collections.deque[EngineRequest] = collections.deque()
         self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs
-        self._slot_emitted = [0] * ecfg.max_num_seqs
+        self._slot_chunks = [0] * ecfg.max_num_seqs
+        self._host_rng = np.random.default_rng(seed ^ 0x5EED)
         # stats (reference logs every 5 s, llm_engine.py:667-740)
         self.stats = {"tokens_generated": 0, "requests_finished": 0,
                       "steps": 0, "prefills": 0}
@@ -429,22 +473,49 @@ class Engine:
     def has_unfinished(self) -> bool:
         return bool(self.waiting) or any(r is not None for r in self.slots)
 
+    def interrupt(self) -> int:
+        """Drain all queued and running requests (Chat.interrupt analog,
+        reference core.py:272-273 / gpt.py:592); returns the number dropped."""
+        n = len(self.waiting)
+        self.waiting.clear()
+        for s, r in enumerate(self.slots):
+            if r is not None:
+                self.slots[s] = None
+                n += 1
+        self.state = self.state._replace(
+            active=jnp.zeros_like(self.state.active))
+        return n
+
     def step(self) -> List[EngineOutput]:
+        self._maybe_preempt()
         self._admit()
-        if not any(r is not None for r in self.slots):
+        occ = sum(r is not None for r in self.slots)
+        self.stats["peak_slots"] = max(self.stats.get("peak_slots", 0), occ)
+        if not occ:
             return []
         self.state = self._chunk(
             self.gpt_params, self.embed_params, self.state,
             jnp.int32(self.ecfg.chunk_steps))
         self.stats["steps"] += self.ecfg.chunk_steps
+        for s, r in enumerate(self.slots):
+            if r is not None:
+                self._slot_chunks[s] += 1
         return self._harvest()
 
-    def generate(self, requests: List[EngineRequest]) -> List[EngineOutput]:
-        """Offline batch entry point (velocity/llm.py:122-180 analog)."""
+    def generate(self, requests: List[EngineRequest],
+                 context=None) -> List[EngineOutput]:
+        """Offline batch entry point (velocity/llm.py:122-180 analog).
+
+        ``context``: optional Interrupt flag polled between chunks; when set,
+        active work is drained and whatever finished is returned.
+        """
         for r in requests:
             self.add_request(r)
         outputs: List[EngineOutput] = []
         while self.has_unfinished():
+            if context is not None and context.get():
+                self.interrupt()
+                break
             outputs.extend(self.step())
         order = {r.request_id: i for i, r in enumerate(requests)}
         outputs.sort(key=lambda o: order.get(o.request_id, 1 << 30))
@@ -452,25 +523,45 @@ class Engine:
 
     # -- internals -----------------------------------------------------
 
+    def _prompt_arrays(self, req: EngineRequest):
+        """Prompt + teacher-forced resume tokens (preemption recompute)."""
+        if req._resume_ids is None:
+            return req.ids, req.text_mask
+        ids = np.concatenate([req.ids, req._resume_ids.astype(np.int32)])
+        tmask = np.concatenate(
+            [req.text_mask, np.zeros((req.resume_len,), bool)])
+        return ids, tmask
+
     def _admit(self):
         ecfg = self.ecfg
         for s in range(ecfg.max_num_seqs):
             if self.slots[s] is not None or not self.waiting:
                 continue
             req = self.waiting.popleft()
-            T0 = req.ids.shape[0]
+            pids, ptmask = self._prompt_arrays(req)
+            T0 = pids.shape[0]
             Tpb = next(b for b in ecfg.buckets if b >= T0)
             ids = np.zeros((1, Tpb, self.cfg.num_vq), np.int32)
             attn = np.zeros((1, Tpb), np.bool_)
             tmask = np.zeros((1, Tpb), np.bool_)
-            ids[0, Tpb - T0 :] = req.ids
+            ids[0, Tpb - T0 :] = pids
             attn[0, Tpb - T0 :] = True
-            tmask[0, Tpb - T0 :] = req.text_mask
+            tmask[0, Tpb - T0 :] = ptmask
             temp = np.asarray(req.temperature, np.float32)
             if temp.shape[0] != self.cfg.num_vq:
                 temp = np.full((self.cfg.num_vq,), float(temp[0]), np.float32)
             spk = (req.spk_vec if req.spk_vec is not None
                    else np.zeros((self.cfg.hidden_size,), np.float32))
+            eos = (req.eos_token if req.eos_token is not None
+                   else (self.ecfg.text_eos_token if ecfg.infer_text
+                         else self.cfg.num_audio_tokens - 1))
+            # per-request determinism: the slot key derives from the request
+            # seed alone (retries fold the attempt index, mirroring the
+            # reference's regenerate-with-advanced-RNG, gpt.py:527-570)
+            seed = (req.seed if req.seed is not None
+                    else int(self._host_rng.integers(1 << 31)))
+            key = jax.random.key_data(jax.random.fold_in(
+                jax.random.PRNGKey(seed), req._attempts)).astype(jnp.uint32)
             self.state = self._prefill[Tpb](
                 self.gpt_params, self.embed_params, self.state,
                 jnp.int32(s), jnp.asarray(ids), jnp.asarray(attn),
@@ -478,10 +569,59 @@ class Engine:
                 jnp.int32(self.spk_emb_ids), jnp.asarray(temp),
                 jnp.float32(req.top_p), jnp.int32(req.top_k),
                 jnp.float32(req.repetition_penalty), jnp.int32(req.min_new),
-                jnp.int32(min(req.max_new, ecfg.max_new_tokens)))
+                jnp.int32(min(req.max_new, ecfg.max_new_tokens)),
+                jnp.int32(eos), jnp.int32(req.resume_len), key)
             self.slots[s] = req
-            self._slot_emitted[s] = 0
+            self._slot_chunks[s] = 0
             self.stats["prefills"] += 1
+
+    def _maybe_preempt(self):
+        """Starvation control: preempt-by-recompute the longest-remaining
+        running slot once the queue is blocked (scheduler.py:222-249)."""
+        pa = self.ecfg.preempt_after_chunks
+        if pa is None or not self.waiting:
+            return
+        if any(r is None for r in self.slots):
+            return
+        st = self.state
+        step_in = np.asarray(st.step_in)
+        end_idx = np.asarray(st.end_idx)
+        seq_off = np.asarray(st.seq_off)
+        finish = np.asarray(st.finish)
+        max_bucket = max(self.ecfg.buckets)
+        cands = []
+        for s, req in enumerate(self.slots):
+            if req is None or finish[s] or self._slot_chunks[s] < pa:
+                continue
+            gen = int(end_idx[s])
+            resume_total = req.ids.shape[0] + int(seq_off[s]) + gen
+            if resume_total > max_bucket:
+                continue  # resume prompt would not fit; keep running
+            remaining = req.max_new - int(seq_off[s]) - int(step_in[s])
+            cands.append((remaining, s))
+        if not cands:
+            return
+        _, s = max(cands)
+        req = self.slots[s]
+        Tp = self.ecfg.max_prompt_len
+        gen = int(end_idx[s])
+        new_ids = np.asarray(st.ids[s, Tp : Tp + gen])
+        prev = req._resume_ids
+        req._resume_ids = (new_ids if prev is None
+                           else np.concatenate([prev, new_ids]))
+        if self.ecfg.collect_hidden:
+            new_hid = np.asarray(st.hiddens[s, :gen])
+            prevh = req._resume_hiddens
+            req._resume_hiddens = (new_hid if prevh is None
+                                   else np.concatenate([prevh, new_hid]))
+        self.slots[s] = None
+        self.state = self.state._replace(
+            active=self.state.active.at[s].set(False))
+        # requeue at the BACK: the freed slot goes to the waiting head and
+        # long requests round-robin in preempt_after_chunks time slices
+        # (each admission runs at least that long, so progress is guaranteed)
+        self.waiting.append(req)
+        self.stats["preemptions"] = self.stats.get("preemptions", 0) + 1
 
     def _harvest(self) -> List[EngineOutput]:
         st = self.state
@@ -496,47 +636,63 @@ class Engine:
         for s, req in enumerate(self.slots):
             if req is None or not active[s]:
                 continue
-            # streaming callback with newly generated tokens
-            if req.on_tokens is not None and step_in[s] > self._slot_emitted[s]:
+            off = req.resume_len  # tokens generated before this slot tenure
+            # streaming callback with newly generated tokens (global counts)
+            if (req.on_tokens is not None
+                    and off + step_in[s] > req._emitted):
                 if ids_np is None:
                     ids_np = np.asarray(st.ids)
-                n = int(min(end_idx[s], step_in[s]))
-                lo = self._slot_emitted[s]
+                n = off + int(min(end_idx[s], step_in[s]))
+                lo = req._emitted
                 if n > lo:
-                    new_ids = ids_np[s, Tp + lo : Tp + n]
+                    new_ids = ids_np[s, Tp + (lo - off) : Tp + (n - off)]
                     if self.ecfg.collect_hidden:
                         if hid_np is None:
                             hid_np = np.asarray(st.hiddens)
-                        new_hid = hid_np[s, lo:n]
+                        new_hid = hid_np[s, lo - off : n - off]
                     else:
                         new_hid = None
                     req.on_tokens(req.request_id, new_ids, new_hid,
                                   bool(finish[s]))
-                    self._slot_emitted[s] = n
+                    req._emitted = n
             if not finish[s]:
                 continue
             if ids_np is None:
                 ids_np = np.asarray(st.ids)
             n = int(end_idx[s])
             seq = ids_np[s, Tp : Tp + n]
+            if req._resume_ids is not None:
+                seq = np.concatenate([req._resume_ids.astype(np.int32), seq])
+            total = off + n
             out_ids = seq[:, 0].copy() if self.ecfg.infer_text else seq.copy()
             hid = None
             if self.ecfg.collect_hidden:
                 if hid_np is None:
                     hid_np = np.asarray(st.hiddens)
                 hid = hid_np[s, :n].copy()
-            reason = ("length" if n >= int(np.asarray(st.max_new)[s])
+                if req._resume_hiddens is not None:
+                    hid = np.concatenate([req._resume_hiddens, hid])
+            reason = ("length" if total >= int(np.asarray(st.max_new)[s])
                       else "eos")
-            outputs.append(EngineOutput(
-                request_id=req.request_id, ids=out_ids, hiddens=hid,
-                finish_reason=reason,
-                metrics={"gen_tokens": float(n),
-                         "latency_s": time.monotonic() - req.arrival}))
-            self.stats["tokens_generated"] += n
-            self.stats["requests_finished"] += 1
             self.slots[s] = None
             self.state = self.state._replace(
                 active=self.state.active.at[s].set(False))
+            if (total == 0 and reason == "eos" and req.ensure_non_empty
+                    and req._attempts < 3):
+                # empty-generation retry: re-dispatch with the attempt index
+                # folded into the key (reference regenerates recursively,
+                # gpt.py:527-570)
+                req._attempts += 1
+                self.waiting.appendleft(req)
+                self.stats["retries"] = self.stats.get("retries", 0) + 1
+                continue
+            outputs.append(EngineOutput(
+                request_id=req.request_id, ids=out_ids, hiddens=hid,
+                finish_reason=reason,
+                metrics={"gen_tokens": float(total),
+                         "latency_s": time.monotonic() - req.arrival}))
+            self.stats["tokens_generated"] += n
+            self.stats["requests_finished"] += 1
         self._maybe_log()
         return outputs
 

@@ -100,13 +100,18 @@ def sample(
     window_ids: jnp.ndarray,    # (N, W)
     window_mask: jnp.ndarray,   # (N, W)
     step: jnp.ndarray,          # () i32 current generation step
-    eos_token: int,
+    eos_token,
     max_penalized: int,
 ) -> jnp.ndarray:
     """Full reference sampling chain; returns sampled ids (N,) int32.
 
     ``step`` may be a scalar (single generation) or per-row (N,) (continuous
-    batching, where every sequence is at its own depth).
+    batching, where every sequence is at its own depth).  ``eos_token`` may
+    likewise be a scalar or per-row (N,).  ``rng`` is a single key, or
+    per-row keys (N, 2): each row's draw then depends only on its own key,
+    which is what makes continuous-batching slots deterministic under a
+    per-request seed regardless of co-resident requests (manual_seed
+    semantics, reference gpt.py:501-508).
     """
     temp = params.temperature
     if temp.ndim == 1 and temp.shape[0] != logits.shape[0]:
@@ -151,9 +156,15 @@ def sample(
     # EOS suppression while step < min_new (applied after the warpers, as in
     # gpt.py:512-525); eos's sorted position found by comparing indices
     eos_sup = jnp.broadcast_to(step < params.min_new, (N,))
-    s_asc = jnp.where(eos_sup[:, None] & (order == eos_token), NEG_INF, s_asc)
+    eos_rows = jnp.broadcast_to(jnp.asarray(eos_token), (N,))
+    s_asc = jnp.where(eos_sup[:, None] & (order == eos_rows[:, None]),
+                      NEG_INF, s_asc)
 
     # categorical draw in sorted space, mapped back through `order`
-    j = jax.random.categorical(rng, s_asc, axis=-1)
+    if rng.ndim == 2:  # per-row keys: categorical == argmax(logits + gumbel)
+        g = jax.vmap(lambda k: jax.random.gumbel(k, (V,)))(rng)
+        j = jnp.argmax(s_asc + g, axis=-1)
+    else:
+        j = jax.random.categorical(rng, s_asc, axis=-1)
     return jnp.sum(jnp.where(pos == j[:, None], order, 0),
                    axis=-1).astype(jnp.int32)

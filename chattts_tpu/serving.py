@@ -1,0 +1,201 @@
+"""Concurrent TTS service: many requests share the engine's decode slots.
+
+The reference's OpenAI API serializes the whole model behind one asyncio
+lock (``examples/api/openai_api.py:67,205``) even when the vLLM engine
+could batch.  Here a single driver thread owns engine stepping while
+request threads submit work and wait:
+
+    request thread: normalize -> tokenize -> submit(refine) -> wait
+                    -> submit(code) -> wait/stream -> vocode -> PCM
+    driver thread:  while work: step(text engine); step(code engine);
+                    fulfill futures / push stream increments
+
+Two overlapping requests therefore run in ADJACENT SLOTS of the same
+jitted decode chunk instead of back-to-back (velocity/llm_engine.py:637-665
+continuous batching, made end-to-end).  Engine mutations (add_request,
+step, harvest) all happen under one mutex; the vocoder/jit calls are
+thread-safe in JAX and run in the request threads.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from .core import Chat
+from .engine.streaming import StreamingDecoder, plan_windows
+from .utils.logger import get_logger
+
+logger = get_logger("chattts.serving")
+
+
+@dataclass
+class _Pending:
+    future: "queue.Queue"            # completion mailbox (size 1)
+    stream_q: Optional["queue.Queue"] = None  # token increments (streaming)
+
+
+class TTSService:
+    """Thread-safe concurrent synthesis over one loaded :class:`Chat`."""
+
+    def __init__(self, chat: Chat):
+        if not chat.has_loaded():
+            raise ValueError("Chat must be loaded")
+        self.chat = chat
+        # build both engines up front (lazy creation would race submitters)
+        chat._engine_for_code()
+        chat._engine_for_text()
+        self._mu = threading.Lock()      # guards both engines + pending map
+        self._work = threading.Event()
+        self._pending: dict[str, _Pending] = {}
+        self._stop = False
+        self.max_concurrent_slots = 0    # peak code-engine occupancy (stats)
+        self._driver = threading.Thread(target=self._drive, daemon=True,
+                                        name="tts-engine-driver")
+        self._driver.start()
+
+    def close(self):
+        self._stop = True
+        self._work.set()
+        self._driver.join(timeout=5)
+
+    # -- driver ----------------------------------------------------------
+
+    def _engines(self):
+        engs = []
+        c = self.chat
+        if getattr(c, "_text_engine", None) is not None:
+            engs.append(c._text_engine)
+        if getattr(c, "_code_engine", None) is not None:
+            engs.append(c._code_engine)
+        return engs
+
+    def _drive(self):
+        while not self._stop:
+            self._work.wait(timeout=0.25)
+            busy = False
+            with self._mu:
+                for eng in self._engines():
+                    if not eng.has_unfinished():
+                        continue
+                    busy = True
+                    outs = eng.step()
+                    if eng is getattr(self.chat, "_code_engine", None):
+                        self.max_concurrent_slots = max(
+                            self.max_concurrent_slots,
+                            eng.stats.get("peak_slots", 0))
+                    for o in outs:
+                        p = self._pending.pop(o.request_id, None)
+                        if p is not None:
+                            p.future.put(o)
+                if not busy:
+                    self._work.clear()
+
+    def _submit(self, eng, reqs, stream_q=None) -> List["queue.Queue"]:
+        futs = []
+        with self._mu:
+            for r in reqs:
+                mailbox = queue.Queue(maxsize=1)
+                self._pending[r.request_id] = _Pending(mailbox, stream_q)
+                eng.add_request(r)
+                futs.append(mailbox)
+        self._work.set()
+        return futs
+
+    # -- public API --------------------------------------------------------
+
+    def refine(self, texts: List[str],
+               params: Optional[Chat.RefineTextParams] = None) -> List[str]:
+        """Refine-text pass through the shared text engine."""
+        c = self.chat
+        params = params or Chat.RefineTextParams()
+        texts = [c.normalizer(t, True, True, None) for t in texts]
+        from .models.speaker import Speaker
+
+        prompts = Speaker.decorate_text_prompts(texts, params.prompt)
+        ids, attn, tmask = c.tokenizer.encode(prompts, c.config.gpt.num_vq)
+        from .engine.batching import EngineRequest
+
+        eng = c._engine_for_text()
+        reqs = []
+        for b in range(ids.shape[0]):
+            n = int(attn[b].sum())
+            reqs.append(EngineRequest(
+                request_id=f"svc-refine-{uuid.uuid4().hex[:12]}",
+                ids=ids[b, ids.shape[1] - n:],
+                text_mask=tmask[b, ids.shape[1] - n:],
+                temperature=np.asarray([params.temperature], np.float32),
+                top_p=params.top_P, top_k=params.top_K,
+                repetition_penalty=params.repetition_penalty,
+                min_new=params.min_new_token, max_new=params.max_new_token,
+                seed=params.manual_seed,
+                ensure_non_empty=params.ensure_non_empty))
+        futs = self._submit(eng, reqs)
+        outs = [f.get() for f in futs]
+        kept = [o.ids[o.ids < c.tokenizer.break_0_ids] for o in outs]
+        return c.tokenizer.decode(kept)
+
+    def _code_reqs(self, texts, params, on_tokens=None):
+        c = self.chat
+        reqs = c._code_requests(texts, params, on_tokens=on_tokens)
+        for r in reqs:
+            r.request_id = f"svc-code-{uuid.uuid4().hex[:12]}"
+        return reqs
+
+    def synthesize(self, text: str,
+                   params_refine: Optional[Chat.RefineTextParams] = None,
+                   params_code: Optional[Chat.InferCodeParams] = None,
+                   skip_refine_text: bool = False) -> np.ndarray:
+        """Text -> float32 waveform; blocking, but engine work overlaps with
+        every other in-flight request."""
+        c = self.chat
+        params_code = params_code or Chat.InferCodeParams()
+        texts = [text] if skip_refine_text else self.refine(
+            [text], params_refine)
+        futs = self._submit(c._engine_for_code(),
+                            self._code_reqs(texts, params_code))
+        outs = [f.get() for f in futs]
+        from .engine.generate import GenerationOutputs
+
+        result = GenerationOutputs(
+            ids=[o.ids for o in outs], hiddens=[o.hiddens for o in outs],
+            finished=np.asarray([o.finish_reason == "eos" for o in outs]))
+        wavs = c._decode_to_wavs(result, use_decoder=True)
+        keep = [w[np.abs(w) > 1e-5] for w in wavs]
+        return (np.concatenate(keep) if keep else np.zeros((0,), np.float32))
+
+    def synthesize_stream(self, text: str,
+                          params_code: Optional[Chat.InferCodeParams] = None,
+                          ) -> Iterator[np.ndarray]:
+        """Streaming synthesis; chunks arrive as the shared engine decodes."""
+        c = self.chat
+        params = params_code or Chat.InferCodeParams()
+        inc_q: queue.Queue = queue.Queue()
+
+        def on_tokens(rid, new_ids, new_hid, finished):
+            inc_q.put((new_hid, finished))
+
+        reqs = self._code_reqs([text], params, on_tokens=on_tokens)
+        self._submit(c._engine_for_code(), reqs, stream_q=inc_q)
+
+        ctx, guard, window = plan_windows(
+            c.config.decoder.stack, c.config.vocos, params.stream_batch)
+        fg = c.config.runtime.stream_first_guard
+        sd = StreamingDecoder(
+            c._stream_decode_fn(True), 1, c.config.gpt.hidden_size,
+            ctx=ctx, guard=guard, window=window,
+            first_guard=None if fg is None else min(fg, guard))
+        hid = np.zeros((0, c.config.gpt.hidden_size), np.float32)
+        finished = False
+        while not finished:
+            new_hid, finished = inc_q.get()
+            if new_hid is not None and new_hid.shape[0]:
+                hid = np.concatenate([hid, new_hid])
+            out = sd.update([hid], final=finished)
+            if out.size:
+                yield out

@@ -1,19 +1,22 @@
 """HTTP TTS API server - stdlib, no framework dependencies.
 
-Serves both API surfaces of the reference's examples
+Serves the API surfaces of the reference's examples
 (``examples/api/main.py:71-119`` and the OpenAI-compatible
-``examples/api/openai_api.py:149-285``):
+``examples/api/openai_api.py:149-285``) plus the WebUI helpers:
 
-* ``POST /generate_voice``  {"text": [...], "spk_emb"?, "stream"?, params...}
-  -> audio/wav (single concatenated waveform)
-* ``POST /v1/audio/speech`` {"input": "...", "voice"?: seed-or-spk-string,
-  "response_format"?: "wav"} -> audio/wav, chunked streaming
-* ``GET /health`` -> {"status": "ok"}
+* ``POST /generate_voice``  {"text": [...], "spk_emb"?, params...}
+  -> audio/wav (or format=zip: one wav per text)
+* ``POST /v1/audio/speech`` {"input": "...", "voice"?, "stream"?} -> wav
+* ``POST /refine``          {"text": "..."} -> {"refined": "..."}
+* ``POST /sample_audio_speaker``  raw wav body -> {"spk_smp": "..."}
+* ``GET  /sample_random_speaker`` -> {"spk_emb": "..."}
+* ``POST /interrupt``       -> drains all queued/running work
+* ``GET  /health``, ``GET /`` (WebUI page)
 
-Model access is serialized with a lock exactly like the reference
-(openai_api.py:67,205): one TPU, one request at a time; others queue.
-
-    python examples/api_server.py --port 8000 --source random
+Unlike the reference (one asyncio.Lock around the model,
+openai_api.py:67,205), CONCURRENT requests share the continuous-batching
+engine's decode slots through ``chattts_tpu.serving.TTSService`` - two
+overlapping requests decode in the same jitted chunk.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from chattts_tpu import Chat
+from chattts_tpu.serving import TTSService
 from chattts_tpu.utils.audio import transcode, wav_bytes
 from chattts_tpu.utils.logger import get_logger
 from chattts_tpu.utils.seeder import SpeakerSeedContext
@@ -36,7 +40,8 @@ from chattts_tpu.utils.seeder import SpeakerSeedContext
 logger = get_logger("chattts.api")
 
 _chat: Chat = None  # type: ignore
-_lock = threading.Lock()
+_svc: TTSService = None  # type: ignore
+_voice_lock = threading.Lock()
 _voices: dict[str, str] = {}  # name -> spk_emb string cache
 
 
@@ -46,16 +51,19 @@ def _resolve_voice(voice) -> str | None:
         return None
     v = str(voice)
     if v.isdigit():
-        if v not in _voices:
-            with SpeakerSeedContext(_chat.speaker, int(v)):
-                _voices[v] = _chat.sample_random_speaker()
-        return _voices[v]
+        with _voice_lock:
+            if v not in _voices:
+                with SpeakerSeedContext(_chat.speaker, int(v)):
+                    _voices[v] = _chat.sample_random_speaker()
+            return _voices[v]
     return v  # assume portable spk_emb string
 
 
-def _infer(texts, body, stream=False, split_text=True):
+def _params_from(body) -> tuple[Chat.RefineTextParams, Chat.InferCodeParams]:
     p = Chat.InferCodeParams(
         spk_emb=_resolve_voice(body.get("voice") or body.get("spk_emb")),
+        spk_smp=body.get("spk_smp"),
+        txt_smp=body.get("txt_smp"),
         temperature=float(body.get("temperature", 0.3)),
         top_P=float(body.get("top_p", 0.7)),
         top_K=int(body.get("top_k", 20)),
@@ -67,61 +75,109 @@ def _infer(texts, body, stream=False, split_text=True):
         prompt=body.get("refine_prompt", ""),
         manual_seed=body.get("manual_seed"),
     )
-    return _chat.infer(
-        texts, stream=stream, split_text=split_text,
-        skip_refine_text=bool(body.get("skip_refine_text", False)),
-        params_refine_text=rp, params_infer_code=p)
+    return rp, p
 
 
 class Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # route through our logger
         logger.debug("%s " + fmt, self.address_string(), *args)
 
-    def _json_error(self, code: int, msg: str):
-        body = json.dumps({"error": msg}).encode()
+    def _json(self, code: int, obj):
+        body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
 
+    def _json_error(self, code: int, msg: str):
+        self._json(code, {"error": msg})
+
+    def _bytes(self, payload: bytes, ctype: str):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
     def do_GET(self):
-        if self.path == "/" or self.path == "/index.html":
+        if self.path in ("/", "/index.html"):
             import os
 
             page = os.path.join(os.path.dirname(__file__), "webui.html")
             try:
                 with open(page, "rb") as f:
-                    body = f.read()
+                    self._bytes(f.read(), "text/html; charset=utf-8")
             except OSError:
-                return self._json_error(404, "webui.html missing")
-            self.send_response(200)
-            self.send_header("Content-Type", "text/html; charset=utf-8")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+                self._json_error(404, "webui.html missing")
         elif self.path == "/health":
-            body = json.dumps({"status": "ok"}).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._json(200, {"status": "ok",
+                             "peak_slots": _svc.max_concurrent_slots})
+        elif self.path == "/sample_random_speaker":
+            self._json(200, {"spk_emb": _chat.sample_random_speaker()})
         else:
             self._json_error(404, "not found")
 
     def do_POST(self):
+        raw = b""
         try:
             n = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(n) or b"{}")
-        except (ValueError, json.JSONDecodeError):
-            return self._json_error(400, "invalid JSON body")
+            raw = self.rfile.read(n)
+        except ValueError:
+            return self._json_error(400, "bad Content-Length")
 
+        if self.path == "/sample_audio_speaker":
+            return self._sample_audio_speaker(raw)
+        try:
+            body = json.loads(raw or b"{}")
+        except json.JSONDecodeError:
+            return self._json_error(400, "invalid JSON body")
         if self.path == "/generate_voice":
             return self._generate_voice(body)
         if self.path == "/v1/audio/speech":
             return self._openai_speech(body)
+        if self.path == "/refine":
+            return self._refine(body)
+        if self.path == "/interrupt":
+            n = 0
+            for eng in (_chat._code_engine, _chat._text_engine):
+                if eng is not None:
+                    n += eng.interrupt()
+            return self._json(200, {"dropped": n})
         return self._json_error(404, "not found")
+
+    def _sample_audio_speaker(self, raw: bytes):
+        """Voice clone: wav upload -> spk_smp string (core.py:179-180)."""
+        import io as _io
+        import wave
+
+        try:
+            with wave.open(_io.BytesIO(raw)) as w:
+                sr = w.getframerate()
+                pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+                if w.getnchannels() > 1:
+                    pcm = pcm.reshape(-1, w.getnchannels()).mean(1)
+        except Exception as e:  # noqa: BLE001
+            return self._json_error(400, f"expected a wav body: {e}")
+        wav = pcm.astype(np.float32) / 32768.0
+        if sr != 24000:
+            from chattts_tpu.utils.audio import resample
+
+            wav = resample(wav, sr, 24000)
+        smp = _chat.sample_audio_speaker(wav)
+        self._json(200, {"spk_smp": smp})
+
+    def _refine(self, body):
+        text = body.get("text")
+        if not isinstance(text, str) or not text:
+            return self._json_error(400, "'text' must be a non-empty string")
+        rp, _ = _params_from(body)
+        try:
+            refined = _svc.refine([text], rp)[0]
+        except Exception as e:  # noqa: BLE001
+            logger.error("refine failed: %s", e)
+            return self._json_error(500, f"refine failed: {e}")
+        self._json(200, {"refined": refined})
 
     def _generate_voice(self, body):
         texts = body.get("text")
@@ -131,16 +187,15 @@ class Handler(BaseHTTPRequestHandler):
             return self._json_error(400, "'text' must be a non-empty string "
                                          "or list of strings")
         fmt = body.get("format", "wav")
-        want_zip = fmt == "zip"  # one file per text (reference main.py
-        # returns a zip of per-text audio, examples/api/main.py:71-119)
-        with _lock:
-            try:
-                wavs = _infer(texts, body,
-                              split_text=not want_zip)
-            except Exception as e:  # noqa: BLE001
-                logger.error("inference failed: %s", e)
-                return self._json_error(500, f"inference failed: {e}")
-        if want_zip:
+        rp, p = _params_from(body)
+        skip = bool(body.get("skip_refine_text", False))
+        try:
+            wavs = [_svc.synthesize(t, rp, p, skip_refine_text=skip)
+                    for t in texts]
+        except Exception as e:  # noqa: BLE001
+            logger.error("inference failed: %s", e)
+            return self._json_error(500, f"inference failed: {e}")
+        if fmt == "zip":  # one file per text (reference main.py:71-119)
             import io as _io
             import zipfile
 
@@ -148,24 +203,14 @@ class Handler(BaseHTTPRequestHandler):
             with zipfile.ZipFile(buf, "w") as zf:
                 for i, w in enumerate(wavs):
                     zf.writestr(f"{i}.wav", wav_bytes(np.asarray(w)))
-            payload = buf.getvalue()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/zip")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
-            return
-        audio = np.concatenate([w for w in wavs if w.size]) if wavs else \
-            np.zeros(1, np.float32)
+            return self._bytes(buf.getvalue(), "application/zip")
+        audio = (np.concatenate([w for w in wavs if w.size])
+                 if any(w.size for w in wavs) else np.zeros(1, np.float32))
         try:
             payload = transcode(audio, fmt)
         except RuntimeError as e:
             return self._json_error(400, str(e))
-        self.send_response(200)
-        self.send_header("Content-Type", f"audio/{fmt}")
-        self.send_header("Content-Length", str(len(payload)))
-        self.end_headers()
-        self.wfile.write(payload)
+        self._bytes(payload, f"audio/{fmt}")
 
     def _openai_speech(self, body):
         text = body.get("input")
@@ -175,44 +220,40 @@ class Handler(BaseHTTPRequestHandler):
         if fmt != "wav":
             return self._json_error(
                 400, f"response_format {fmt!r} unsupported (wav only)")
-        stream = bool(body.get("stream", False))
-        with _lock:
+        rp, p = _params_from(body)
+        if bool(body.get("stream", False)):
             try:
-                if stream:
-                    chunks = []
-                    self.send_response(200)
-                    self.send_header("Content-Type", "audio/wav")
-                    self.send_header("Transfer-Encoding", "chunked")
-                    self.end_headers()
-                    for chunk in _infer([text], body, stream=True):
-                        if not chunk.size:
-                            continue
-                        payload = wav_bytes(chunk[0])
-                        self.wfile.write(f"{len(payload):x}\r\n".encode())
-                        self.wfile.write(payload + b"\r\n")
-                        chunks.append(chunk)
-                    self.wfile.write(b"0\r\n\r\n")
-                    return
-                wavs = _infer([text], body)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for chunk in _svc.synthesize_stream(text, p):
+                    payload = wav_bytes(chunk[0])
+                    self.wfile.write(f"{len(payload):x}\r\n".encode())
+                    self.wfile.write(payload + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
             except Exception as e:  # noqa: BLE001
-                logger.error("inference failed: %s", e)
-                return self._json_error(500, f"inference failed: {e}")
-        audio = np.concatenate([w for w in wavs if w.size])
-        payload = wav_bytes(audio)
-        self.send_response(200)
-        self.send_header("Content-Type", "audio/wav")
-        self.send_header("Content-Length", str(len(payload)))
-        self.end_headers()
-        self.wfile.write(payload)
+                logger.error("stream failed: %s", e)
+            return
+        try:
+            audio = _svc.synthesize(
+                text, rp, p, skip_refine_text=bool(
+                    body.get("skip_refine_text", True)))
+        except Exception as e:  # noqa: BLE001
+            logger.error("inference failed: %s", e)
+            return self._json_error(500, f"inference failed: {e}")
+        self._bytes(wav_bytes(audio), "audio/wav")
 
 
 def serve(port: int, source: str, custom_path=None, config=None) -> ThreadingHTTPServer:
-    global _chat
+    global _chat, _svc
     _chat = Chat(logger=logger, config=config)
-    if not _chat.load(source=source, custom_path=custom_path):
+    if not _chat.load(source=source, custom_path=custom_path,
+                      use_engine=True):
         raise RuntimeError("model load failed")
+    _svc = TTSService(_chat)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
-    logger.info("serving on :%d", port)
+    logger.info("serving on :%d (continuous batching across requests)", port)
     return httpd
 
 

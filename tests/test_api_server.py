@@ -80,6 +80,70 @@ def test_bad_requests(server):
     assert ei.value.code == 404
 
 
+def test_concurrent_requests_share_slots(server):
+    """Two overlapping requests decode in the same engine chunk (the
+    reference serializes on one lock, openai_api.py:67,205).  Verified by
+    the service's peak concurrent slot occupancy, not wall-clock."""
+    body = {"input": "concurrency test sentence", "skip_refine_text": True,
+            "max_new_token": 24, "min_new_token": 20}
+    results = []
+
+    def hit(seed):
+        b = dict(body, manual_seed=seed)
+        with _post(server, "/v1/audio/speech", b) as r:
+            results.append(r.read()[:4])
+
+    ts = [threading.Thread(target=hit, args=(s,)) for s in (7, 8, 9)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results == [b"RIFF"] * 3
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        peak = json.load(r)["peak_slots"]
+    assert peak >= 2, f"requests serialized (peak slots {peak})"
+
+
+def test_refine_endpoint(server):
+    with _post(server, "/refine", {"text": "refine me",
+                                   "manual_seed": 5}) as r:
+        out = json.load(r)
+    assert isinstance(out["refined"], str)
+
+
+def test_sample_speakers_and_clone(server):
+    with urllib.request.urlopen(server + "/sample_random_speaker",
+                                timeout=60) as r:
+        emb = json.load(r)["spk_emb"]
+    assert isinstance(emb, str) and len(emb) > 10
+
+    # voice clone: upload a wav, get a portable spk_smp string back
+    import numpy as np
+
+    from chattts_tpu.utils.audio import wav_bytes
+
+    wav = (np.sin(np.linspace(0, 440 * 2 * np.pi, 24000)) * 0.3
+           ).astype(np.float32)
+    req = urllib.request.Request(
+        server + "/sample_audio_speaker", data=wav_bytes(wav),
+        headers={"Content-Type": "audio/wav"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        smp = json.load(r)["spk_smp"]
+    assert isinstance(smp, str) and len(smp) > 4
+    # the string is usable as a clone prompt
+    body = {"text": "cloned voice", "skip_refine_text": True,
+            "spk_smp": smp, "txt_smp": "reference",
+            "max_new_token": 10, "min_new_token": 4, "manual_seed": 6}
+    with _post(server, "/generate_voice", body) as r:
+        assert r.read()[:4] == b"RIFF"
+
+
+def test_interrupt_endpoint(server):
+    with _post(server, "/interrupt", {}) as r:
+        out = json.load(r)
+    assert "dropped" in out
+
+
 def test_generate_voice_zip(server):
     import io
     import zipfile

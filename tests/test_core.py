@@ -129,6 +129,72 @@ def test_use_engine_path(tiny_config):
         assert w.dtype == np.float32
 
 
+@pytest.fixture(scope="module")
+def engine_chat(tiny_config):
+    c = Chat(config=tiny_config)
+    c.load(source="random", seed=0, use_engine=True)
+    return c
+
+
+def test_use_engine_streaming(engine_chat):
+    """stream=True + use_engine=True streams through the engine (the r1
+    build silently fell back to the generator)."""
+    gen = engine_chat.infer(
+        "hello engine streaming", stream=True, skip_refine_text=True,
+        params_infer_code=_code_params(
+            max_new_token=16, stream_batch=4, pass_first_n_batches=0,
+            stream_speed=512))
+    chunks = list(gen)
+    assert len(chunks) >= 1
+    assert sum(c.shape[1] for c in chunks) > 0
+    assert engine_chat._code_engine.stats["requests_finished"] >= 1
+
+
+def test_use_engine_refine_pass(engine_chat):
+    """refine_text routes through the text-mode engine under use_engine."""
+    out = engine_chat.infer(
+        "refine me please", refine_text_only=True, split_text=False,
+        params_refine_text=Chat.RefineTextParams(
+            max_new_token=8, manual_seed=3))
+    assert isinstance(out, list) and isinstance(out[0], str)
+    assert engine_chat._text_engine.stats["requests_finished"] >= 1
+    # seeded determinism through the engine
+    out2 = engine_chat.infer(
+        "refine me please", refine_text_only=True, split_text=False,
+        params_refine_text=Chat.RefineTextParams(
+            max_new_token=8, manual_seed=3))
+    assert out == out2
+
+
+def test_use_engine_clone_prompt_capacity(engine_chat):
+    """A spliced spk_smp clone prompt (hundreds of tokens) fits the engine's
+    position-budget-sized buckets."""
+    from chattts_tpu.models.speaker import Speaker
+
+    codes = np.random.default_rng(0).integers(
+        0, 625, (engine_chat.config.gpt.num_vq, 180))
+    smp = Speaker.encode_prompt(codes)
+    wavs = engine_chat.infer(
+        "clone prompt capacity", skip_refine_text=True, split_text=False,
+        params_infer_code=_code_params(max_new_token=8, spk_smp=smp,
+                                       txt_smp="reference text"))
+    assert len(wavs) == 1 and wavs[0].dtype == np.float32
+
+
+def test_use_engine_interrupt(engine_chat):
+    """interrupt() drains the engine mid-stream."""
+    gen = engine_chat.infer(
+        "interrupt this long utterance", stream=True, skip_refine_text=True,
+        params_infer_code=_code_params(
+            max_new_token=24, min_new_token=24, stream_batch=4,
+            pass_first_n_batches=0, stream_speed=512))
+    next(gen)
+    engine_chat.interrupt()
+    list(gen)  # must terminate promptly
+    assert not engine_chat._code_engine.has_unfinished()
+    engine_chat.context.set(False)
+
+
 def test_speaker_apply_function(tiny_config):
     """Speaker.apply injects the normalized vector at [spk_emb] positions."""
     import jax.numpy as jnp

@@ -108,6 +108,112 @@ def test_text_mode(tiny_config, params):
     assert (outs[0].ids != cfg.num_text_tokens - 1).all()
 
 
+def test_per_request_seed_deterministic_across_loads(tiny_config, params):
+    """Same seed -> identical tokens, regardless of co-resident requests or
+    engine history (manual_seed semantics, reference gpt.py:501-508)."""
+    cfg = tiny_config.gpt
+    seeded = _req(cfg, "det", n=6, min_new=4, max_new=8, seed=1234)
+
+    eng1 = _mk_engine(tiny_config, params)
+    out_alone = eng1.generate([seeded])[0]
+
+    eng2 = _mk_engine(tiny_config, params)
+    # different co-residents and queue position
+    others = [_req(cfg, f"o{i}", n=4 + i, min_new=2, max_new=6)
+              for i in range(3)]
+    outs = eng2.generate(others + [seeded])
+    out_busy = next(o for o in outs if o.request_id == "det")
+    np.testing.assert_array_equal(out_alone.ids, out_busy.ids)
+
+
+def test_per_request_eos_token(tiny_config, params):
+    """EngineRequest.eos_token overrides the engine default (text mode)."""
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params, infer_text=True,
+                     text_eos_token=cfg.num_text_tokens - 1,
+                     collect_hidden=False)
+    custom_eos = 7
+    out = eng.generate([_req(cfg, "e0", temperature=np.asarray([0.7]),
+                             min_new=0, max_new=10, seed=5,
+                             eos_token=custom_eos,
+                             ensure_non_empty=False)])[0]
+    # the custom EOS id never appears in kept output
+    assert (out.ids != custom_eos).all()
+
+
+def test_ensure_non_empty_retries(tiny_config, params):
+    """Immediate EOS triggers re-dispatch (gpt.py:527-570); attempts are
+    bounded."""
+    import jax
+    from chattts_tpu.models import embed as embed_mod
+
+    cfg = tiny_config.gpt
+    eos = cfg.num_audio_tokens - 1
+    # rig the code heads so EOS is argmax in every codebook
+    eparams = embed_mod.init_params(jax.random.PRNGKey(1), cfg)
+    head = np.zeros(eparams["head_code"].shape, np.float32)
+    head[:, :, eos] = 50.0
+    eparams = dict(eparams, head_code=np.asarray(head))
+    eng = Engine(cfg, EngineConfig(max_num_seqs=2, max_prompt_len=16,
+                                   max_new_tokens=8, chunk_steps=4),
+                 params[0], eparams)
+    out = eng.generate([_req(cfg, "r0", min_new=0, max_new=8,
+                             top_k=1, ensure_non_empty=True)])[0]
+    assert out.ids.shape[0] == 0
+    assert eng.stats.get("retries") == 3
+
+    eng2 = Engine(cfg, EngineConfig(max_num_seqs=2, max_prompt_len=16,
+                                    max_new_tokens=8, chunk_steps=4),
+                  params[0], eparams)
+    eng2.generate([_req(cfg, "r1", min_new=0, max_new=8, top_k=1,
+                        ensure_non_empty=False)])
+    assert eng2.stats.get("retries") is None
+
+
+def test_preemption_admits_short_request(tiny_config, params):
+    """Starvation control: with every slot held by long requests, a short
+    request still gets admitted (preempt-by-recompute time slicing,
+    scheduler.py:222-249) and no generated work is lost."""
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params, max_num_seqs=2, chunk_steps=2,
+                     max_new_tokens=16, preempt_after_chunks=1)
+    finished_order = []
+    longs = [_req(cfg, f"L{i}", n=4, min_new=12, max_new=12, seed=i)
+             for i in range(2)]
+    short = _req(cfg, "short", n=4, min_new=2, max_new=2, seed=9)
+    for r in longs:
+        eng.add_request(r)
+    outs = []
+    outs.extend(eng.step())  # both longs admitted and running
+    eng.add_request(short)
+    while eng.has_unfinished():
+        for o in eng.step():
+            finished_order.append(o.request_id)
+            outs.append(o)
+    assert eng.stats.get("preemptions", 0) > 0
+    assert finished_order[0] == "short"  # didn't wait for a 12-token slot
+    by_id = {o.request_id: o for o in outs}
+    assert by_id["short"].ids.shape[0] == 2
+    for i in range(2):
+        o = by_id[f"L{i}"]
+        assert o.ids.shape[0] == 12  # resumed tokens + new tokens, none lost
+        assert o.hiddens.shape == (12, cfg.hidden_size)
+
+
+def test_engine_interrupt_drains(tiny_config, params):
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params)
+    from chattts_tpu.engine.generate import Interrupt
+
+    ctx = Interrupt()
+    eng.add_request(_req(cfg, "i0", min_new=8, max_new=8))
+    eng.step()
+    ctx.set(True)
+    outs = eng.generate([_req(cfg, "i1", min_new=8, max_new=8)], context=ctx)
+    assert outs == []
+    assert not eng.has_unfinished()
+
+
 def test_prompt_too_long_rejected(tiny_config, params):
     cfg = tiny_config.gpt
     eng = _mk_engine(tiny_config, params)
