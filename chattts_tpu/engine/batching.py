@@ -154,12 +154,21 @@ class SlotState(NamedTuple):
     #                              a slot depends only on its own key/depth
 
 
-def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int) -> SlotState:
+def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int,
+                fused: bool = False) -> SlotState:
     S, Tc = ecfg.max_num_seqs, ecfg.cache_len
     D = cfg.hidden_size
+    HD = cfg.num_attention_heads * cfg.head_dim
+    L = cfg.num_hidden_layers
     hshape = (S, ecfg.max_new_tokens, D) if ecfg.collect_hidden else (S, 1, 1)
+    if fused:
+        # flat stacked layout for the whole-step megakernel's manual DMA
+        cache = (jnp.zeros((L, S, Tc, HD), jnp.bfloat16),
+                 jnp.zeros((L, S, Tc, HD), jnp.bfloat16))
+    else:
+        cache = KVCache.create(cfg, S, Tc)
     return SlotState(
-        cache=KVCache.create(cfg, S, Tc),
+        cache=cache,
         ids=jnp.zeros((S, Tc, cfg.num_vq), jnp.int32),
         key_valid=jnp.zeros((S, Tc), jnp.bool_),
         hidden=jnp.zeros((S, D), jnp.float32),
@@ -219,9 +228,10 @@ def _state_specs(cfg: GPTConfig, ecfg: EngineConfig):
 
 
 @functools.lru_cache(maxsize=8)
-def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
+def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
     S, Tp, Tc = ecfg.max_num_seqs, ecfg.max_prompt_len, ecfg.cache_len
     num_vq = cfg.num_vq
+    HD = cfg.num_attention_heads * cfg.head_dim
     infer_text = ecfg.infer_text
     eos_token = (ecfg.text_eos_token if infer_text
                  else cfg.num_audio_tokens - 1)
@@ -233,12 +243,31 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
         cache slots [Tp - Tpb, Tp); everything below stays padding."""
         off = Tp - Tpb
 
-        def prefill_slot(gp, ep, st: SlotState, slot, ids, attn, tmask,
-                         spk_vec, spk_emb_ids, temp, top_p, top_k, rep,
-                         min_new, max_new, eos, seq_off, key) -> SlotState:
+        def prefill_slot(gp, ep, packed, st: SlotState, slot, tok, spk_vec,
+                         scal, key) -> SlotState:
+            """One slot's prefill.
+
+            The host packs everything into FOUR arrays per admission wave
+            (uploads over the host link dominate admission cost otherwise):
+            ``tok`` (Tpb, num_vq + 2) int32 = [ids | attn | tmask],
+            ``spk_vec`` (D,), ``scal`` (9 + num_vq,) f32 =
+            [spk_emb_ids, top_p, top_k, rep, min_new, max_new, eos,
+            seq_off, has_spk, temp...], ``key`` (2,) uint32.
+            """
+            nvq = cfg.num_vq
+            ids = tok[None, :, :nvq]
+            attn = tok[None, :, nvq] != 0
+            tmask = tok[None, :, nvq + 1] != 0
+            (spk_emb_ids, top_p, top_k, rep, min_new, max_new, eos,
+             seq_off) = (scal[0].astype(jnp.int32), scal[1],
+                         scal[2].astype(jnp.int32), scal[3],
+                         scal[4].astype(jnp.int32), scal[5].astype(jnp.int32),
+                         scal[6].astype(jnp.int32), scal[7].astype(jnp.int32))
+            has_spk = scal[8]
+            temp = scal[9:9 + nvq]
             emb = embed_mod.embed_prompt(ep, ids, tmask)
             n = spk_vec / jnp.maximum(jnp.linalg.norm(spk_vec), 1e-12)
-            cond = (ids[..., 0] == spk_emb_ids)[..., None]
+            cond = ((ids[..., 0] == spk_emb_ids) & (has_spk > 0))[..., None]
             emb = jnp.where(cond, n[None, None, :].astype(emb.dtype), emb)
             positions = jnp.maximum(
                 jnp.cumsum(attn.astype(jnp.int32), axis=1) - 1, 0)
@@ -246,12 +275,21 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
             hidden_all, mini_cache = llama.prefill(
                 gp, emb, attn, positions, mini_cache, cfg)
 
-            cache = KVCache(
-                tuple(lax.dynamic_update_slice(ck, mk, (slot, off, 0, 0))
-                      for ck, mk in zip(st.cache.k, mini_cache.k)),
-                tuple(lax.dynamic_update_slice(cv, mv, (slot, off, 0, 0))
-                      for cv, mv in zip(st.cache.v, mini_cache.v)),
-            )
+            if fused:
+                kc, vc = st.cache
+                for li in range(cfg.num_hidden_layers):
+                    mk = mini_cache.k[li].reshape(1, 1, Tpb, HD)
+                    mv = mini_cache.v[li].reshape(1, 1, Tpb, HD)
+                    kc = lax.dynamic_update_slice(kc, mk, (li, slot, off, 0))
+                    vc = lax.dynamic_update_slice(vc, mv, (li, slot, off, 0))
+                cache = (kc, vc)
+            else:
+                cache = KVCache(
+                    tuple(lax.dynamic_update_slice(ck, mk, (slot, off, 0, 0))
+                          for ck, mk in zip(st.cache.k, mini_cache.k)),
+                    tuple(lax.dynamic_update_slice(cv, mv, (slot, off, 0, 0))
+                          for cv, mv in zip(st.cache.v, mini_cache.v)),
+                )
             ids_pad = jnp.pad(ids, ((0, 0), (off, Tc - Tp), (0, 0)))
             kv_pad = jnp.pad(attn, ((0, 0), (off, Tc - Tp)))
             return st._replace(
@@ -278,10 +316,10 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
                 rng=st.rng.at[slot].set(key),
             )
 
-        return jax.jit(prefill_slot, donate_argnums=(2,))
+        return jax.jit(prefill_slot, donate_argnums=(3,))
 
     def step_body(carry):
-        st, gp, ep, _ = carry
+        st, gp, ep, packed, _ = carry
         live = st.active & ~st.finish  # (S,)
         gstep = st.seq_off + st.step_in  # global generated count per slot
 
@@ -366,8 +404,19 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
 
         emb = (embed_mod.embed_text_step(ep, token[:, 0]) if infer_text
                else embed_mod.embed_code_step(ep, token))
-        hidden, cache = llama.decode_step(
-            gp, emb, st.cache, st.cur, key_valid, st.pos_next, cfg)
+        if fused:
+            from ..ops.pallas_step import decode_step_fused
+
+            lo = jnp.argmax(key_valid, axis=1).astype(jnp.int32)
+            lo = jnp.where(jnp.any(key_valid, axis=1), lo, 0)
+            x_out, kc, vc = decode_step_fused(
+                packed, emb, st.cache[0], st.cache[1], st.cur, lo,
+                st.pos_next, cfg=cfg)
+            hidden = llama.rms_norm(x_out, gp["norm"], cfg.rms_norm_eps)
+            cache = (kc, vc)
+        else:
+            hidden, cache = llama.decode_step(
+                gp, emb, st.cache, st.cur, key_valid, st.pos_next, cfg)
         hidden = jnp.where(live[:, None], hidden, st.hidden)
 
         st = st._replace(
@@ -376,18 +425,25 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig):
             pos_next=st.pos_next + live.astype(jnp.int32),
             step_in=st.step_in + live.astype(jnp.int32),
             finish=finish, end_idx=end_idx, hiddens=hiddens)
-        return (st, gp, ep, carry[3] + 1)
+        return (st, gp, ep, packed, carry[4] + 1)
 
-    def decode_chunk(gp, ep, st: SlotState, n_steps) -> SlotState:
+    def decode_chunk(gp, ep, packed, st: SlotState, n_steps):
         def cond(carry):
             s = carry[0]
-            return (carry[3] < n_steps) & jnp.any(s.active & ~s.finish)
+            return (carry[4] < n_steps) & jnp.any(s.active & ~s.finish)
 
-        st, _, _, _ = lax.while_loop(cond, step_body, (st, gp, ep, jnp.int32(0)))
-        return st
+        st, _, _, _, _ = lax.while_loop(
+            cond, step_body, (st, gp, ep, packed, jnp.int32(0)))
+        # all per-slot scheduling scalars in ONE array: the host reads slot
+        # status with a single device->host transfer per chunk (the link
+        # round trip dominates engine overhead otherwise)
+        status = jnp.stack([
+            st.finish.astype(jnp.int32), st.active.astype(jnp.int32),
+            st.end_idx, st.step_in, st.max_new, st.seq_off])
+        return st, status
 
     prefill_jits = {b: make_prefill(b) for b in ecfg.buckets}
-    chunk_jit = jax.jit(decode_chunk, donate_argnums=(2,))
+    chunk_jit = jax.jit(decode_chunk, donate_argnums=(3,))
     return prefill_jits, chunk_jit
 
 
@@ -416,7 +472,17 @@ class Engine:
         """
         self.cfg = cfg
         self.ecfg = ecfg
-        self.state = _init_state(cfg, ecfg, seed)
+        from .generate import use_fused_step
+
+        # the whole-step megakernel serves the single-chip engine; the
+        # sharded (mesh) engine keeps the XLA step, which pjit partitions
+        self._fused = use_fused_step(cfg) and mesh is None
+        self._packed = {}
+        if self._fused:
+            from ..ops.pallas_step import pack_step_params
+
+            self._packed = pack_step_params(gpt_params, cfg)
+        self.state = _init_state(cfg, ecfg, seed, fused=self._fused)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -436,10 +502,12 @@ class Engine:
         self.gpt_params = gpt_params
         self.embed_params = embed_params
         self.spk_emb_ids = spk_emb_ids
-        self._prefill, self._chunk = _build_kernels(cfg, ecfg)
+        self._prefill, self._chunk = _build_kernels(cfg, ecfg,
+                                                     fused=self._fused)
         self.waiting: collections.deque[EngineRequest] = collections.deque()
         self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs
         self._slot_chunks = [0] * ecfg.max_num_seqs
+        self._status = None  # packed per-slot scalars from the last chunk
         self._host_rng = np.random.default_rng(seed ^ 0x5EED)
         # stats (reference logs every 5 s, llm_engine.py:667-740)
         self.stats = {"tokens_generated": 0, "requests_finished": 0,
@@ -493,9 +561,10 @@ class Engine:
         self.stats["peak_slots"] = max(self.stats.get("peak_slots", 0), occ)
         if not occ:
             return []
-        self.state = self._chunk(
-            self.gpt_params, self.embed_params, self.state,
+        self.state, status = self._chunk(
+            self.gpt_params, self.embed_params, self._packed, self.state,
             jnp.int32(self.ecfg.chunk_steps))
+        self._status = np.asarray(status)  # ONE host read per chunk
         self.stats["steps"] += self.ecfg.chunk_steps
         for s, r in enumerate(self.slots):
             if r is not None:
@@ -533,61 +602,83 @@ class Engine:
         return ids, tmask
 
     def _admit(self):
+        """Admit waiting requests into free slots.
+
+        The whole wave's inputs pack into FOUR host->device uploads per
+        prompt bucket (tok / spk / scal / key); each prefill dispatch then
+        slices its row on device.  Blocking uploads over the host link cost
+        tens of ms each here, so per-request scalar uploads dominated
+        admission before this batching.
+        """
         ecfg = self.ecfg
-        for s in range(ecfg.max_num_seqs):
-            if self.slots[s] is not None or not self.waiting:
-                continue
+        nvq = self.cfg.num_vq
+        wave: List = []  # (slot, req, bucket)
+        free = [s for s in range(ecfg.max_num_seqs) if self.slots[s] is None]
+        for s in free:
+            if not self.waiting:
+                break
             req = self.waiting.popleft()
-            pids, ptmask = self._prompt_arrays(req)
-            T0 = pids.shape[0]
-            Tpb = next(b for b in ecfg.buckets if b >= T0)
-            ids = np.zeros((1, Tpb, self.cfg.num_vq), np.int32)
-            attn = np.zeros((1, Tpb), np.bool_)
-            tmask = np.zeros((1, Tpb), np.bool_)
-            ids[0, Tpb - T0 :] = pids
-            attn[0, Tpb - T0 :] = True
-            tmask[0, Tpb - T0 :] = ptmask
-            temp = np.asarray(req.temperature, np.float32)
-            if temp.shape[0] != self.cfg.num_vq:
-                temp = np.full((self.cfg.num_vq,), float(temp[0]), np.float32)
-            spk = (req.spk_vec if req.spk_vec is not None
-                   else np.zeros((self.cfg.hidden_size,), np.float32))
-            eos = (req.eos_token if req.eos_token is not None
-                   else (self.ecfg.text_eos_token if ecfg.infer_text
-                         else self.cfg.num_audio_tokens - 1))
-            # per-request determinism: the slot key derives from the request
-            # seed alone (retries fold the attempt index, mirroring the
-            # reference's regenerate-with-advanced-RNG, gpt.py:527-570)
-            seed = (req.seed if req.seed is not None
-                    else int(self._host_rng.integers(1 << 31)))
-            key = jax.random.key_data(jax.random.fold_in(
-                jax.random.PRNGKey(seed), req._attempts)).astype(jnp.uint32)
-            self.state = self._prefill[Tpb](
-                self.gpt_params, self.embed_params, self.state,
-                jnp.int32(s), jnp.asarray(ids), jnp.asarray(attn),
-                jnp.asarray(tmask), jnp.asarray(spk, jnp.float32),
-                jnp.int32(self.spk_emb_ids), jnp.asarray(temp),
-                jnp.float32(req.top_p), jnp.int32(req.top_k),
-                jnp.float32(req.repetition_penalty), jnp.int32(req.min_new),
-                jnp.int32(min(req.max_new, ecfg.max_new_tokens)),
-                jnp.int32(eos), jnp.int32(req.resume_len), key)
-            self.slots[s] = req
-            self._slot_chunks[s] = 0
-            self.stats["prefills"] += 1
+            pids, _ = self._prompt_arrays(req)
+            Tpb = next(b for b in ecfg.buckets if b >= pids.shape[0])
+            wave.append((s, req, Tpb))
+        for Tpb in sorted({b for _, _, b in wave}):
+            group = [(s, r) for s, r, b in wave if b == Tpb]
+            n = len(group)
+            tok = np.zeros((n, Tpb, nvq + 2), np.int32)
+            spk = np.zeros((n, self.cfg.hidden_size), np.float32)
+            scal = np.zeros((n, 9 + nvq), np.float32)
+            keys = np.zeros((n, 2), np.uint32)
+            for i, (s, req) in enumerate(group):
+                pids, ptmask = self._prompt_arrays(req)
+                T0 = pids.shape[0]
+                tok[i, Tpb - T0 :, :nvq] = pids
+                tok[i, Tpb - T0 :, nvq] = 1
+                tok[i, Tpb - T0 :, nvq + 1] = ptmask
+                if req.spk_vec is not None:
+                    spk[i] = req.spk_vec
+                temp = np.asarray(req.temperature, np.float32)
+                if temp.shape[0] != nvq:
+                    temp = np.full((nvq,), float(temp[0]), np.float32)
+                eos = (req.eos_token if req.eos_token is not None
+                       else (ecfg.text_eos_token if ecfg.infer_text
+                             else self.cfg.num_audio_tokens - 1))
+                # per-request determinism: the slot key derives from the
+                # request seed alone (retries fold the attempt index,
+                # mirroring the reference's regenerate-with-advanced-RNG,
+                # gpt.py:527-570)
+                seed = (req.seed if req.seed is not None
+                        else int(self._host_rng.integers(1 << 31)))
+                keys[i] = np.asarray(jax.random.key_data(jax.random.fold_in(
+                    jax.random.PRNGKey(seed), req._attempts)), np.uint32)
+                scal[i] = np.concatenate([
+                    [self.spk_emb_ids, req.top_p, req.top_k,
+                     req.repetition_penalty, req.min_new,
+                     min(req.max_new, ecfg.max_new_tokens), eos,
+                     req.resume_len, 0.0 if req.spk_vec is None else 1.0],
+                    temp])
+            tok_d = jnp.asarray(tok)
+            spk_d = jnp.asarray(spk)
+            scal_d = jnp.asarray(scal)
+            keys_d = jnp.asarray(keys)
+            for i, (s, req) in enumerate(group):
+                self.state = self._prefill[Tpb](
+                    self.gpt_params, self.embed_params, self._packed,
+                    self.state, jnp.int32(s), tok_d[i], spk_d[i], scal_d[i],
+                    keys_d[i])
+                self.slots[s] = req
+                self._slot_chunks[s] = 0
+                self.stats["prefills"] += 1
 
     def _maybe_preempt(self):
         """Starvation control: preempt-by-recompute the longest-remaining
         running slot once the queue is blocked (scheduler.py:222-249)."""
         pa = self.ecfg.preempt_after_chunks
-        if pa is None or not self.waiting:
+        if pa is None or not self.waiting or self._status is None:
             return
         if any(r is None for r in self.slots):
             return
         st = self.state
-        step_in = np.asarray(st.step_in)
-        end_idx = np.asarray(st.end_idx)
-        seq_off = np.asarray(st.seq_off)
-        finish = np.asarray(st.finish)
+        finish, _, end_idx, step_in, _, seq_off = self._status
         max_bucket = max(self.ecfg.buckets)
         cands = []
         for s, req in enumerate(self.slots):
@@ -625,14 +716,29 @@ class Engine:
 
     def _harvest(self) -> List[EngineOutput]:
         st = self.state
-        finish = np.asarray(st.finish)
-        active = np.asarray(st.active)
-        end_idx = np.asarray(st.end_idx)
-        step_in = np.asarray(st.step_in)
+        finish, active, end_idx, step_in, max_new, _ = self._status
         outputs: List[EngineOutput] = []
         Tp = self.ecfg.max_prompt_len
-        ids_np = None
-        hid_np = None
+        # pre-scan: how many generated positions any consumer needs, then
+        # fetch them in at most TWO bulk device->host reads (blocking reads
+        # over the host link cost tens of ms each; per-slot reads dominated
+        # harvest before this)
+        need_hi = 0
+        for s, req in enumerate(self.slots):
+            if req is None or not active[s]:
+                continue
+            off = req.resume_len
+            if (req.on_tokens is not None
+                    and off + step_in[s] > req._emitted):
+                need_hi = max(need_hi,
+                              int(min(end_idx[s], step_in[s])))
+            if finish[s]:
+                need_hi = max(need_hi, int(end_idx[s]))
+        ids_np = hid_np = None
+        if need_hi:
+            ids_np = np.asarray(st.ids[:, Tp : Tp + need_hi])
+            if self.ecfg.collect_hidden:
+                hid_np = np.asarray(st.hiddens[:, :need_hi])
         for s, req in enumerate(self.slots):
             if req is None or not active[s]:
                 continue
@@ -640,40 +746,31 @@ class Engine:
             # streaming callback with newly generated tokens (global counts)
             if (req.on_tokens is not None
                     and off + step_in[s] > req._emitted):
-                if ids_np is None:
-                    ids_np = np.asarray(st.ids)
                 n = off + int(min(end_idx[s], step_in[s]))
                 lo = req._emitted
                 if n > lo:
-                    new_ids = ids_np[s, Tp + (lo - off) : Tp + (n - off)]
-                    if self.ecfg.collect_hidden:
-                        if hid_np is None:
-                            hid_np = np.asarray(st.hiddens)
-                        new_hid = hid_np[s, lo - off : n - off]
-                    else:
-                        new_hid = None
+                    new_ids = ids_np[s, lo - off : n - off]
+                    new_hid = (hid_np[s, lo - off : n - off]
+                               if self.ecfg.collect_hidden else None)
                     req.on_tokens(req.request_id, new_ids, new_hid,
                                   bool(finish[s]))
                     req._emitted = n
             if not finish[s]:
                 continue
-            if ids_np is None:
-                ids_np = np.asarray(st.ids)
             n = int(end_idx[s])
-            seq = ids_np[s, Tp : Tp + n]
+            seq = (ids_np[s, :n] if n
+                   else np.zeros((0, st.ids.shape[-1]), np.int32))
             if req._resume_ids is not None:
                 seq = np.concatenate([req._resume_ids.astype(np.int32), seq])
             total = off + n
             out_ids = seq[:, 0].copy() if self.ecfg.infer_text else seq.copy()
             hid = None
             if self.ecfg.collect_hidden:
-                if hid_np is None:
-                    hid_np = np.asarray(st.hiddens)
-                hid = hid_np[s, :n].copy()
+                hid = (hid_np[s, :n].copy() if n
+                       else np.zeros((0, st.hiddens.shape[-1]), np.float32))
                 if req._resume_hiddens is not None:
                     hid = np.concatenate([req._resume_hiddens, hid])
-            reason = ("length" if total >= int(np.asarray(st.max_new)[s])
-                      else "eos")
+            reason = "length" if total >= int(max_new[s]) else "eos"
             self.slots[s] = None
             self.state = self.state._replace(
                 active=self.state.active.at[s].set(False))

@@ -103,18 +103,19 @@ def _rms(x, w, eps):
     return x * lax.rsqrt(var + eps) * w[None, :]
 
 
-def _kernel(cur_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
+def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
             x_ref, rope_ref, w_hbm, kc_hbm, vc_hbm,
             x_out, kc_out, vc_out,
             wbuf, kbuf, vbuf, rowk, rowv, xs, gate_s, up_s,
             wsem, ksem, vsem, rsem, *,
             B: int, D: int, HD: int, H: int, I: int, T: int, TC: int,
-            S: int, L: int, eps: float, scale: float):
+            S: int, L: int, eps: float, scale: float, per_slot: bool):
     l = pl.program_id(0)
     base = l * S
     r = I // D
-    cur = cur_ref[0]
-    nc = cur // TC + 1  # visible chunks (attention reads [0, cur])
+    cur_max = cur_ref[0]        # max append position (chunk loop bound)
+    curv = curv_ref[...].astype(jnp.int32)  # (B, 1) per-row positions
+    nc = cur_max // TC + 1  # visible chunks (attention reads [0, cur])
     lo = lo_ref[...].astype(jnp.int32)  # (B, 1) first visible slot per row
 
     def start_wdma(g):
@@ -169,27 +170,64 @@ def _kernel(cur_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     q = q * cosf + mm(q, rope) * sinf
     k = k * cosf + mm(k, rope) * sinf
 
-    # ---- append k/v at cur (aligned 8-row RMW per batch row) -------------
-    start8 = (cur // 8) * 8
-    pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
-                          rsem.at[0]).start()
-    pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
-                          rsem.at[1]).start()
-    pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
-                          rsem.at[0]).wait()
-    pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
-                          rsem.at[1]).wait()
-    sel = lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == (cur - start8)
-    rowk[...] = jnp.where(sel, k[:, None, :].astype(rowk.dtype), rowk[...])
-    rowv[...] = jnp.where(sel, v[:, None, :].astype(rowv.dtype), rowv[...])
-    pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, 8)],
-                          rsem.at[0]).start()
-    pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
-                          rsem.at[1]).start()
-    pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, 8)],
-                          rsem.at[0]).wait()
-    pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
-                          rsem.at[1]).wait()
+    # ---- append k/v at cur (aligned 8-row RMW) ---------------------------
+    # single-generation path: all rows share cur -> one batched RMW window;
+    # continuous-batching path (per_slot): every row has its own aligned
+    # window - all 2B reads (then writes) go out concurrently and the waits
+    # drain them, so the cost is one DMA round trip, not B of them.
+    if per_slot:
+        rd, wr = [], []
+        for b in range(B):
+            s8 = (cur_ref[1 + b] // 8) * 8
+            rd.append((pltpu.make_async_copy(
+                kc_out.at[l, b, pl.ds(s8, 8)], rowk.at[b], rsem.at[0, b]),
+                pltpu.make_async_copy(
+                vc_out.at[l, b, pl.ds(s8, 8)], rowv.at[b], rsem.at[1, b])))
+        for ck, cv in rd:
+            ck.start()
+            cv.start()
+        for ck, cv in rd:
+            ck.wait()
+            cv.wait()
+        start8v = (curv // 8) * 8  # (B, 1)
+        sel = (lax.broadcasted_iota(jnp.int32, (B, 8, 1), 1)
+               == (curv - start8v)[:, :, None])
+        rowk[...] = jnp.where(sel, k[:, None, :].astype(rowk.dtype), rowk[...])
+        rowv[...] = jnp.where(sel, v[:, None, :].astype(rowv.dtype), rowv[...])
+        for b in range(B):
+            s8 = (cur_ref[1 + b] // 8) * 8
+            wr.append((pltpu.make_async_copy(
+                rowk.at[b], kc_out.at[l, b, pl.ds(s8, 8)], rsem.at[0, b]),
+                pltpu.make_async_copy(
+                rowv.at[b], vc_out.at[l, b, pl.ds(s8, 8)], rsem.at[1, b])))
+        for ck, cv in wr:
+            ck.start()
+            cv.start()
+        for ck, cv in wr:
+            ck.wait()
+            cv.wait()
+    else:
+        start8 = (cur_max // 8) * 8
+        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
+                              rsem.at[0, 0]).start()
+        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
+                              rsem.at[1, 0]).start()
+        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
+                              rsem.at[0, 0]).wait()
+        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
+                              rsem.at[1, 0]).wait()
+        sel = (lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+               == (cur_max - start8))
+        rowk[...] = jnp.where(sel, k[:, None, :].astype(rowk.dtype), rowk[...])
+        rowv[...] = jnp.where(sel, v[:, None, :].astype(rowv.dtype), rowv[...])
+        pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, 8)],
+                              rsem.at[0, 0]).start()
+        pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
+                              rsem.at[1, 0]).start()
+        pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, 8)],
+                              rsem.at[0, 0]).wait()
+        pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
+                              rsem.at[1, 0]).wait()
 
     # ---- attention over chunks [0, cur], online softmax ------------------
     head_of = lax.broadcasted_iota(jnp.int32, (HD, H), 0) // (HD // H)
@@ -221,7 +259,7 @@ def _kernel(cur_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
                                   preferred_element_type=jnp.float32)
             rows.append(s_b)  # (TC, H)
         s = jnp.stack(rows)  # (B, TC, H)
-        vis = (t_ids >= lo[:, :, None]) & (t_ids <= cur)
+        vis = (t_ids >= lo[:, :, None]) & (t_ids <= curv[:, :, None])
         s = jnp.where(vis, s, NEG)
         m_n = jnp.maximum(m_p, jnp.max(s, axis=1))      # (B, H)
         p = jnp.exp(s - m_n[:, None, :])                # (B, TC, H)
@@ -270,7 +308,7 @@ def decode_step_fused(
     emb: jnp.ndarray,        # (B, D) f32 current-token embedding
     k_cache: jnp.ndarray,    # (L, B, T, HD) bf16 - consumed (aliased)
     v_cache: jnp.ndarray,    # (L, B, T, HD) bf16 - consumed (aliased)
-    cur: jnp.ndarray,        # () i32 append/attend position (all rows)
+    cur: jnp.ndarray,        # () i32 shared position, or (B,) per-slot
     lo: jnp.ndarray,         # (B,) i32 first visible slot per row
     positions: jnp.ndarray,  # (B,) i32 rope position of the current token
     cfg,
@@ -280,7 +318,9 @@ def decode_step_fused(
     """Run all layers of one decode step; returns (x_out, k_cache', v_cache').
 
     ``x_out`` is the PRE-final-norm residual stream (B, D) f32 - callers
-    apply the final rms_norm.  Cache arrays alias in place.
+    apply the final rms_norm.  Cache arrays alias in place.  A scalar
+    ``cur`` is the single-generation path (one batched append window);
+    a (B,) ``cur`` is the continuous-batching path (per-row windows).
     """
     from ..models.llama import rope_tables
 
@@ -307,14 +347,23 @@ def decode_step_fused(
     cosf = jnp.tile(cos, (1, H)).astype(jnp.float32)  # (B, HD)
     sinf = jnp.tile(sin, (1, H)).astype(jnp.float32)
 
+    per_slot = cur.ndim == 1
+    cur_rows = (cur if per_slot else jnp.broadcast_to(cur, (B,))).astype(
+        jnp.int32)
+    # SMEM scalars: [cur_max, cur_0..cur_B-1] (per-row append windows need
+    # scalar reads); VMEM copy for the vectorized visibility mask
+    cur_smem = jnp.concatenate([jnp.max(cur_rows)[None], cur_rows])
+
     kernel = functools.partial(
         _kernel, B=B, D=D, HD=HD, H=H, I=I, T=T, TC=TC, S=S, L=L,
-        eps=cfg.rms_norm_eps, scale=1.0 / float(np.sqrt(Dh)))
+        eps=cfg.rms_norm_eps, scale=1.0 / float(np.sqrt(Dh)),
+        per_slot=per_slot)
     x_out, k2, v2 = pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # cur
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cur scalars (1+B,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # curv (B, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lo (B, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cosf
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sinf
@@ -352,12 +401,12 @@ def decode_step_fused(
             pltpu.SemaphoreType.DMA((WRING,)),
             pltpu.SemaphoreType.DMA((KRING,)),
             pltpu.SemaphoreType.DMA((KRING,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, B)),
         ],
-        input_output_aliases={9: 1, 10: 2},
+        input_output_aliases={10: 1, 11: 2},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(cur.reshape(1).astype(jnp.int32), lo.reshape(B, 1).astype(jnp.int32),
+    )(cur_smem, cur_rows.reshape(B, 1), lo.reshape(B, 1).astype(jnp.int32),
       cosf, sinf,
       packed["ln1"].reshape(L, 1, D), packed["ln2"].reshape(L, 1, D),
       emb.astype(jnp.float32),

@@ -84,8 +84,10 @@ def test_concurrent_requests_share_slots(server):
     """Two overlapping requests decode in the same engine chunk (the
     reference serializes on one lock, openai_api.py:67,205).  Verified by
     the service's peak concurrent slot occupancy, not wall-clock."""
+    # several chunks per request (chunk_steps=24) so the overlap window is
+    # wide even on a loaded CI machine
     body = {"input": "concurrency test sentence", "skip_refine_text": True,
-            "max_new_token": 24, "min_new_token": 20}
+            "max_new_token": 96, "min_new_token": 96}
     results = []
 
     def hit(seed):

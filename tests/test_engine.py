@@ -145,28 +145,48 @@ def test_ensure_non_empty_retries(tiny_config, params):
     """Immediate EOS triggers re-dispatch (gpt.py:527-570); attempts are
     bounded."""
     import jax
+    import jax.numpy as jnp
     from chattts_tpu.models import embed as embed_mod
 
     cfg = tiny_config.gpt
     eos = cfg.num_audio_tokens - 1
-    # rig the code heads so EOS is argmax in every codebook
     eparams = embed_mod.init_params(jax.random.PRNGKey(1), cfg)
+    # fixed prompt (no hash-based randomness) ...
+    pids = np.full((6, cfg.num_vq), 7, np.int32)
+    tmask = np.ones((6,), bool)
+    # ... and an EOS head column aligned with the prompt's actual last
+    # hidden, so logit_eos = 50*sum|h| dominates for ANY weight draw
+    emb = embed_mod.embed_prompt(eparams, jnp.asarray(pids)[None],
+                                 jnp.asarray(tmask)[None])
+    from chattts_tpu.models import llama as llama_mod
+
+    cache = llama_mod.KVCache.create(cfg, 1, 8)
+    pos = jnp.arange(6)[None, :].astype(jnp.int32)
+    h_all, _ = llama_mod.prefill(params[0], emb, jnp.ones((1, 6), bool),
+                                 pos, llama_mod.KVCache.create(cfg, 1, 6),
+                                 cfg)
+    h_last = np.asarray(h_all[0, -1])
     head = np.zeros(eparams["head_code"].shape, np.float32)
-    head[:, :, eos] = 50.0
+    head[:, :, eos] = 50.0 * np.sign(h_last)[None, :]
     eparams = dict(eparams, head_code=np.asarray(head))
+
+    def req(rid, ensure):
+        return EngineRequest(
+            request_id=rid, ids=pids, text_mask=tmask,
+            temperature=np.full((cfg.num_vq,), 0.7, np.float32),
+            top_k=1, min_new=0, max_new=8, ensure_non_empty=ensure)
+
     eng = Engine(cfg, EngineConfig(max_num_seqs=2, max_prompt_len=16,
                                    max_new_tokens=8, chunk_steps=4),
                  params[0], eparams)
-    out = eng.generate([_req(cfg, "r0", min_new=0, max_new=8,
-                             top_k=1, ensure_non_empty=True)])[0]
+    out = eng.generate([req("r0", True)])[0]
     assert out.ids.shape[0] == 0
     assert eng.stats.get("retries") == 3
 
     eng2 = Engine(cfg, EngineConfig(max_num_seqs=2, max_prompt_len=16,
                                     max_new_tokens=8, chunk_steps=4),
                   params[0], eparams)
-    eng2.generate([_req(cfg, "r1", min_new=0, max_new=8, top_k=1,
-                        ensure_non_empty=False)])
+    eng2.generate([req("r1", False)])
     assert eng2.stats.get("retries") is None
 
 
@@ -212,6 +232,49 @@ def test_engine_interrupt_drains(tiny_config, params):
     outs = eng.generate([_req(cfg, "i1", min_new=8, max_new=8)], context=ctx)
     assert outs == []
     assert not eng.has_unfinished()
+
+
+def test_engine_with_fused_step_kernel(monkeypatch):
+    """The engine runs on the whole-step megakernel (per-slot cur path,
+    interpret mode on CPU) with seed determinism intact."""
+    import jax
+    from chattts_tpu.config import GPTConfig
+    from chattts_tpu.engine import batching as bat
+    from chattts_tpu.models import embed as embed_mod
+    from chattts_tpu.models import llama
+
+    monkeypatch.setenv("CHATTTS_PALLAS_STEP", "1")
+    bat._build_kernels.cache_clear()
+    try:
+        cfg = GPTConfig(hidden_size=128, intermediate_size=256,
+                        num_attention_heads=2, num_hidden_layers=2,
+                        max_position_embeddings=128, num_audio_tokens=626,
+                        num_text_tokens=300, num_vq=4)
+        gp = llama.init_params(jax.random.PRNGKey(0), cfg)
+        ep = embed_mod.init_params(jax.random.PRNGKey(1), cfg)
+        ecfg = bat.EngineConfig(max_num_seqs=2, max_prompt_len=16,
+                                max_new_tokens=8, chunk_steps=4)
+        eng = bat.Engine(cfg, ecfg, gp, ep)
+        assert eng._fused
+        rng = np.random.default_rng(3)
+        reqs = [bat.EngineRequest(
+            request_id=f"f{i}",
+            ids=rng.integers(5, 50, (5 + i, cfg.num_vq)).astype(np.int32),
+            text_mask=np.ones((5 + i,), bool),
+            temperature=np.full((cfg.num_vq,), 0.7, np.float32),
+            min_new=3, max_new=6, seed=40 + i) for i in range(3)]
+        outs = eng.generate(reqs)
+        assert len(outs) == 3
+        for o in outs:
+            assert 3 <= o.ids.shape[0] <= 6
+            assert o.hiddens.shape[1] == cfg.hidden_size
+        # seed determinism on the fused engine
+        eng2 = bat.Engine(cfg, ecfg, gp, ep)
+        outs2 = eng2.generate([reqs[0].__class__(**{
+            **reqs[0].__dict__, "request_id": "f0b", "on_tokens": None})])
+        np.testing.assert_array_equal(outs[0].ids, outs2[0].ids)
+    finally:
+        bat._build_kernels.cache_clear()
 
 
 def test_prompt_too_long_rejected(tiny_config, params):

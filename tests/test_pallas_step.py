@@ -98,6 +98,37 @@ def test_fused_step_chunk_skipping_consistent():
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-3)
 
 
+def test_fused_step_per_slot_cur():
+    """Vector ``cur`` (continuous batching): every row appends at its own
+    position and attends its own [lo, cur] range."""
+    params, packed, cache, emb, lo, kv, pos = _setup(cur=11)
+    HD = CFG.num_attention_heads * CFG.head_dim
+    cur = jnp.asarray([11, 17], jnp.int32)
+    slots = np.arange(T)
+    kv = jnp.asarray(
+        (slots[None, :] >= np.asarray([0, 3])[:, None])
+        & (slots[None, :] <= np.asarray(cur)[:, None]))
+    pos_s = cur - lo
+    h_ref, cache_ref = llama.decode_step(params, emb, cache, cur, kv,
+                                         pos_s, CFG)
+    kc = jnp.stack([c.reshape(B, T, HD) for c in cache.k])
+    vc = jnp.stack([c.reshape(B, T, HD) for c in cache.v])
+    x_out, kc2, vc2 = pallas_step.decode_step_fused(
+        packed, emb, kc, vc, cur, lo, pos_s, CFG, t_chunk=8, interpret=True)
+    h_fused = llama.rms_norm(x_out, params["norm"], CFG.rms_norm_eps)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               atol=0.05, rtol=0.05)
+    for b, c in enumerate([11, 17]):
+        ref_k = np.asarray(
+            cache_ref.k[0][b, c].reshape(HD), np.float32)
+        np.testing.assert_allclose(np.asarray(kc2[0, b, c], np.float32),
+                                   ref_k, atol=0.15, rtol=0.05)
+        # other rows' windows untouched at this row's position
+        np.testing.assert_array_equal(
+            np.asarray(kc2[0, b, :c - 8]),
+            np.asarray(cache.k[0].reshape(B, T, HD)[b, :c - 8]))
+
+
 def test_generator_with_fused_step(monkeypatch):
     """The whole Generator loop runs with CHATTTS_PALLAS_STEP=1 (interpret
     mode on CPU) and stays seed-deterministic."""

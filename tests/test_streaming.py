@@ -119,6 +119,13 @@ def test_first_guard_error_decays(pipeline, tiny_config, rng):
     assert err[:exact_until].max() < 2e-4
     # approximate region error is bounded and the overall scale is sane
     assert err.max() < 0.15 * np.abs(ref).max()
+    # quantified bound on the whole first window: the reduced-guard
+    # approximation stays far below audibility (measured ~125 dB SNR on
+    # this geometry; assert a conservative floor)
+    snr_db = 10 * np.log10(
+        float((ref ** 2).sum()) / max(float(((first - ref) ** 2).sum()),
+                                      1e-30))
+    assert snr_db > 60.0, f"first-window SNR {snr_db:.1f} dB"
 
     # everything after the first emission is exact again
     rest = sd.update([feats[0]], final=True)
