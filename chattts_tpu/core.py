@@ -665,7 +665,8 @@ class Chat:
 
         def on_tokens(rid, new_ids, new_hid, finished):
             b = index[rid]
-            acc_ids[b].append(np.asarray(new_ids))
+            if new_ids is not None:  # None = dropped by interrupt
+                acc_ids[b].append(np.asarray(new_ids))
             if new_hid is not None:
                 acc_hid[b].append(np.asarray(new_hid))
             done[b] = done[b] or finished

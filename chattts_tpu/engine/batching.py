@@ -17,15 +17,22 @@ model_runner.py, llm_engine.py).  On TPU all of that machinery collapses:
   of the state shard over the mesh (parallel/mesh.state_specs) and XLA moves
   the bytes.
 * **no CUDA-graph capture** - the jitted chunk IS the captured graph.
-* **preemption-by-recompute and CPU swap are dropped** (documented non-goal:
-  at this model size admission control alone bounds memory; see
-  SURVEY.md section 7).
+* **preemption-by-recompute for FAIRNESS, not memory** (the reference
+  preempts under KV-memory pressure, scheduler.py:222-249; slot memory here
+  is static, so preemption instead time-slices long requests when the
+  queue is blocked - ``EngineConfig.preempt_after_chunks``).  CPU swap is
+  dropped (recompute suffices at this model size; SURVEY.md section 7).
+* on TPU the decode chunk runs the whole-step Pallas megakernel
+  (ops/pallas_step.py, per-slot ``cur``); sharded mesh engines keep the
+  pjit-partitioned XLA step.
 
 Mirrored semantics: per-request sampling params (velocity/sampling_params.py
-extras: min_new_token/max_new_token/infer_text/eos_token/spk_emb), per-step
-hidden-state capture in outputs (velocity/sequence.py:84-88 - the fork's
-raison d'etre), any-codebook EOS, 16-token repetition window, and
-throughput/occupancy stats (llm_engine.py:667-740).
+extras: min_new_token/max_new_token/infer_text/eos_token/spk_emb) INCLUDING
+per-request seeds (slot-keyed RNG: draws depend only on the request's own
+seed and depth), per-step hidden-state capture in outputs
+(velocity/sequence.py:84-88 - the fork's raison d'etre), any-codebook EOS,
+16-token repetition window, empty-generation retry (gpt.py:527-570),
+interrupt, and throughput/occupancy stats (llm_engine.py:667-740).
 """
 
 from __future__ import annotations
@@ -541,18 +548,26 @@ class Engine:
     def has_unfinished(self) -> bool:
         return bool(self.waiting) or any(r is not None for r in self.slots)
 
-    def interrupt(self) -> int:
+    def interrupt(self) -> List[EngineRequest]:
         """Drain all queued and running requests (Chat.interrupt analog,
-        reference core.py:272-273 / gpt.py:592); returns the number dropped."""
-        n = len(self.waiting)
+        reference core.py:272-273 / gpt.py:592).
+
+        Returns the dropped requests so callers (the serving layer) can
+        fail their waiters instead of leaving them blocked; streaming
+        callbacks get a final ``finished=True`` notification.
+        """
+        dropped = list(self.waiting)
         self.waiting.clear()
         for s, r in enumerate(self.slots):
             if r is not None:
                 self.slots[s] = None
-                n += 1
+                dropped.append(r)
         self.state = self.state._replace(
             active=jnp.zeros_like(self.state.active))
-        return n
+        for r in dropped:
+            if r.on_tokens is not None:
+                r.on_tokens(r.request_id, None, None, True)
+        return dropped
 
     def step(self) -> List[EngineOutput]:
         self._maybe_preempt()

@@ -84,7 +84,16 @@ class TTSService:
                     if not eng.has_unfinished():
                         continue
                     busy = True
-                    outs = eng.step()
+                    try:
+                        outs = eng.step()
+                    except Exception:  # noqa: BLE001 - a dead driver would
+                        # leave every waiter blocked forever; fail them all
+                        logger.exception("engine step failed; failing "
+                                         "in-flight requests")
+                        eng.interrupt()
+                        for rid in list(self._pending):
+                            self._pending.pop(rid).future.put(None)
+                        continue
                     if eng is getattr(self.chat, "_code_engine", None):
                         self.max_concurrent_slots = max(
                             self.max_concurrent_slots,
@@ -95,6 +104,27 @@ class TTSService:
                             p.future.put(o)
                 if not busy:
                     self._work.clear()
+
+    def interrupt(self) -> int:
+        """Drop all queued/running work; blocked waiters get a
+        CancelledError instead of hanging."""
+        n = 0
+        with self._mu:
+            for eng in self._engines():
+                dropped = eng.interrupt()
+                n += len(dropped)
+                for r in dropped:
+                    p = self._pending.pop(r.request_id, None)
+                    if p is not None:
+                        p.future.put(None)
+        return n
+
+    @staticmethod
+    def _result(mailbox):
+        out = mailbox.get()
+        if out is None:
+            raise InterruptedError("request dropped (interrupt/failure)")
+        return out
 
     def _submit(self, eng, reqs, stream_q=None) -> List["queue.Queue"]:
         futs = []
@@ -136,7 +166,7 @@ class TTSService:
                 seed=params.manual_seed,
                 ensure_non_empty=params.ensure_non_empty))
         futs = self._submit(eng, reqs)
-        outs = [f.get() for f in futs]
+        outs = [self._result(f) for f in futs]
         kept = [o.ids[o.ids < c.tokenizer.break_0_ids] for o in outs]
         return c.tokenizer.decode(kept)
 
@@ -159,7 +189,7 @@ class TTSService:
             [text], params_refine)
         futs = self._submit(c._engine_for_code(),
                             self._code_reqs(texts, params_code))
-        outs = [f.get() for f in futs]
+        outs = [self._result(f) for f in futs]
         from .engine.generate import GenerationOutputs
 
         result = GenerationOutputs(

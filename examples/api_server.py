@@ -139,11 +139,7 @@ class Handler(BaseHTTPRequestHandler):
         if self.path == "/refine":
             return self._refine(body)
         if self.path == "/interrupt":
-            n = 0
-            for eng in (_chat._code_engine, _chat._text_engine):
-                if eng is not None:
-                    n += eng.interrupt()
-            return self._json(200, {"dropped": n})
+            return self._json(200, {"dropped": _svc.interrupt()})
         return self._json_error(404, "not found")
 
     def _sample_audio_speaker(self, raw: bytes):
