@@ -247,6 +247,7 @@ class Chat:
             return wav
 
         self._device_decode_jit = jax.jit(_device_decode)
+        self._device_window_jits = {}
 
     def unload(self):
         logger = self.logger
@@ -412,31 +413,53 @@ class Chat:
         The reference re-decodes ALL accumulated hidden states on every
         yield (core.py:475-503, O(T^2) total); here a StreamingDecoder
         finalizes samples as soon as their conv receptive cone is complete,
-        so each yield costs one fixed-size window.  Emission cadence keeps
-        the reference semantics: withhold the first ``pass_first_n_batches``
+        so each yield costs one fixed-size window.  When the generator
+        provides device-resident hiddens, the window slicing/padding and
+        vocoding run on device and only finished samples cross the host
+        link (DeviceStreamingDecoder).  Emission cadence keeps the
+        reference semantics: withhold the first ``pass_first_n_batches``
         yields, then emit ``stream_speed``-sample windows, then flush the
         silence-stripped tail.
         """
+        from .engine.streaming import DeviceStreamingDecoder
+
         ctx, guard, window = plan_windows(
             self.config.decoder.stack if use_decoder
             else self.config.dvae.decoder,
             self.config.vocos, params.stream_batch)
         fg = self.config.runtime.stream_first_guard
-        sd = StreamingDecoder(
-            self._stream_decode_fn(use_decoder), len(batch),
-            self.config.gpt.hidden_size if use_decoder
-            else self.config.gpt.num_vq,
-            ctx=ctx, guard=guard, window=window,
-            int_features=not use_decoder,
-            first_guard=None if fg is None else min(fg, guard))
+        fg = None if fg is None else min(fg, guard)
+        sd = None
         pending = np.zeros((len(batch), 0), np.float32)
         pass_batch_count = 0
-        last_items = []
+        last = None  # (device feats, n) or np items for the tail flush
         for result in self._infer_code(batch, True, use_decoder, params):
-            last_items = result.hiddens if use_decoder else result.ids
             final = bool(result.finished.all())
-            pending = np.concatenate(
-                [pending, sd.update(last_items, final=final)], axis=1)
+            if use_decoder and result.hiddens_dev is not None:
+                if sd is None:
+                    sd = DeviceStreamingDecoder(
+                        self._device_window_fn(window), len(batch),
+                        self.config.gpt.hidden_size,
+                        wire_int16=self.config.runtime.wire_int16,
+                        ctx=ctx, guard=guard, window=window, first_guard=fg)
+                last = ("dev", result.hiddens_dev,
+                        result.hiddens_dev.shape[1])
+                chunk = sd.update_dev(result.hiddens_dev,
+                                      result.hiddens_dev.shape[1],
+                                      final=final)
+            else:
+                if sd is None:
+                    sd = StreamingDecoder(
+                        self._stream_decode_fn(use_decoder), len(batch),
+                        self.config.gpt.hidden_size if use_decoder
+                        else self.config.gpt.num_vq,
+                        ctx=ctx, guard=guard, window=window,
+                        int_features=not use_decoder, first_guard=fg)
+                items = (result.materialize_hiddens() if use_decoder
+                         else result.ids)
+                last = ("np", items, None)
+                chunk = sd.update(items, final=final)
+            pending = np.concatenate([pending, chunk], axis=1)
             result.destroy()
             pass_batch_count += 1
             if pass_batch_count <= params.pass_first_n_batches:
@@ -448,9 +471,11 @@ class Chat:
             if emit.size:
                 yield emit
         # tail flush: whatever remains, silence-stripped (core.py:501-503)
-        if sd.emitted < sd.available:
-            pending = np.concatenate(
-                [pending, sd.update(last_items, final=True)], axis=1)
+        if sd is not None and sd.emitted < sd.available and last is not None:
+            kind, payload, n = last
+            tailing = (sd.update_dev(payload, n, final=True) if kind == "dev"
+                       else sd.update(payload, final=True))
+            pending = np.concatenate([pending, tailing], axis=1)
         keep = np.sum(np.abs(pending) > 1e-5, axis=0) > 0
         yield pending[:, keep]
 
@@ -463,6 +488,41 @@ class Chat:
         return lambda win: np.asarray(self._vocos_jit(
             self.vocos_params,
             self._decode_indices_jit(self.dvae_params, jnp.asarray(win))))
+
+    def _device_window_fn(self, window: int):
+        """Device-side window decode for streaming: slice/pad/mask/roll the
+        hidden window, run the mel decoder + vocoder, and (optionally)
+        quantize - all on device; only the finished sample window transfers.
+        Semantics mirror StreamingDecoder._decode_window exactly."""
+        cfg = self.config
+        wire_int16 = cfg.runtime.wire_int16
+        jitted = self._device_window_jits.get(window)
+        if jitted is None:
+            def f(dp, vp, feats, lo, hi, pad_left):
+                B = feats.shape[0]
+                # pad so the dynamic window slice never clamps
+                feats = jnp.pad(feats, ((0, 0), (0, window), (0, 0)))
+                sl = jax.lax.dynamic_slice(
+                    feats, (0, lo, 0), (B, window, feats.shape[2]))
+                t = jnp.arange(window)
+                sl = jnp.where((t < (hi - lo))[None, :, None], sl, 0.0)
+                sl = jnp.roll(sl, pad_left, axis=1)
+                sl = jnp.where((t >= pad_left)[None, :, None], sl, 0.0)
+                mel = dvae_mod.decode_from_hidden(dp, sl, cfg=cfg.decoder)
+                wav = vocos_mod.decode(vp, mel, cfg=cfg.vocos)
+                if wire_int16:
+                    return jnp.clip(wav * 32767.0, -32767,
+                                    32767).astype(jnp.int16)
+                return wav
+
+            jitted = jax.jit(f)
+            self._device_window_jits[window] = jitted
+
+        def call(feats_dev, lo, hi, pad_left):
+            return jitted(self.decoder_params, self.vocos_params, feats_dev,
+                          jnp.int32(lo), jnp.int32(hi), jnp.int32(pad_left))
+
+        return call
 
     # -- decoding ------------------------------------------------------
 

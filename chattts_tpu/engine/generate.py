@@ -382,23 +382,18 @@ class Generator:
         n_max = int(end.max()) if end.size else 0
         ids_np = np.asarray(st.ids[:, T0 : T0 + n_max])
         hiddens_dev = end_dev = None
-        hid_np = None
         if req.return_hidden:
-            if partial or req.stream_batch > 0:
-                # streaming consumers window the hiddens on host
-                hid_np = np.asarray(st.hiddens[:, :n_max])
-            else:
-                # final yield: leave the (B, n_max, D) buffer on device for
-                # the jitted mel decoder (no host round trip)
-                hiddens_dev = st.hiddens[:, :n_max]
-                end_dev = st.end_idx
-        out_ids, out_hid = [], []
+            # the hiddens stay on device for BOTH final and partial yields:
+            # the mel decoder and the device streaming vocoder consume them
+            # there, and the host link is the expensive resource
+            # (materialize_hiddens() gives host copies on demand)
+            hiddens_dev = st.hiddens[:, :n_max]
+            end_dev = st.end_idx
+        out_ids = []
         for b in range(ids_np.shape[0]):
             n = int(end[b])
             seq = ids_np[b, :n]
             out_ids.append(seq[:, 0].copy() if req.infer_text else seq.copy())
-            if hid_np is not None:
-                out_hid.append(hid_np[b, :n].copy())
         return GenerationOutputs(
-            ids=out_ids, hiddens=out_hid, finished=np.asarray(st.finish),
+            ids=out_ids, hiddens=[], finished=np.asarray(st.finish),
             hiddens_dev=hiddens_dev, end_dev=end_dev)

@@ -113,6 +113,22 @@ class StreamingDecoder:
             for b, f in enumerate(feats_list):
                 grown[b, : f.shape[0]] = f
             self._feats = grown
+        return self._walk(n, final)
+
+    def _decode_window(self, lo: int, hi: int, pad_left: int) -> np.ndarray:
+        """Decode hidden positions [lo, hi) zero-padded to the window shape;
+        returns the full (B, (2*window-1)*hop) sample window."""
+        win = self._feats[:, lo:hi]
+        pad = self.window - win.shape[1]
+        if pad:
+            win = np.pad(win, ((0, 0), (pad_left, pad - pad_left), (0, 0)))
+        return np.asarray(self.decode_fn(win))
+
+    def _batch(self) -> int:
+        return self._feats.shape[0]
+
+    def _walk(self, n: int, final: bool) -> np.ndarray:
+        """Advance emission as far as the guard allows over [0, n)."""
         g = self.first_guard if self.emitted == 0 else self.guard
         target = n if final else n - g
         out = []
@@ -132,18 +148,14 @@ class StreamingDecoder:
             emit_hi = hi if is_last else min(hi - g, target)
             if emit_hi <= self.emitted:
                 break  # window cannot make progress (guard >= window - ctx)
-            win = self._feats[:, lo:hi]
-            pad = self.window - win.shape[1]
             # left padding is only safe when the emission start is at least a
             # receptive field away from it; very short utterances fall back
             # to right padding - the same zero-pad tail the reference's
             # batched decode produces (core.py:522-530 pads to batch max)
-            pad_left = pad if (is_last and self.emitted - lo >= self.guard) \
-                else 0
-            if pad:
-                win = np.pad(
-                    win, ((0, 0), (pad_left, pad - pad_left), (0, 0)))
-            wav = self.decode_fn(win)  # (B, (2*window-1)*hop)
+            pad_left = (self.window - (hi - lo)
+                        if (is_last and self.emitted - lo >= self.guard)
+                        else 0)
+            wav = self._decode_window(lo, hi, pad_left)
             a = (pad_left + self.emitted - lo) * SAMPLES_PER_HIDDEN
             b = (pad_left + emit_hi - lo) * SAMPLES_PER_HIDDEN
             if is_last:
@@ -152,8 +164,57 @@ class StreamingDecoder:
                 b = min(b, (2 * (pad_left + hi - lo) - 1)
                         * (SAMPLES_PER_HIDDEN // 2))
             b = min(b, wav.shape[1])
-            out.append(np.asarray(wav[:, a:b]))
+            out.append(wav[:, a:b])
             self.emitted = emit_hi
         if not out:
-            return np.zeros((B, 0), np.float32)
+            return np.zeros((self._batch(), 0), np.float32)
         return np.concatenate(out, axis=1)
+
+
+class DeviceStreamingDecoder(StreamingDecoder):
+    """Streaming decoder whose features never leave the accelerator.
+
+    The generator's partial outputs keep hidden states device-resident
+    (GenerationOutputs.hiddens_dev); each emission slices/pads/masks the
+    window ON DEVICE, vocodes there, and transfers only the finished sample
+    window (optionally as int16 PCM).  Eliminates the per-chunk hidden
+    download and per-window upload of the host-side decoder - the
+    time-to-first-audio levers on a slow host link.
+
+    ``decode_window_dev(feats_dev, lo, hi, pad_left) -> device wav window``
+    is built by the facade (core._device_stream_window).
+    """
+
+    def __init__(self, decode_window_dev, batch: int, feature_dim: int,
+                 wire_int16: bool = False, **kw):
+        super().__init__(decode_fn=None, batch=batch,
+                         feature_dim=feature_dim, **kw)
+        self._decode_window_dev = decode_window_dev
+        self._wire_int16 = wire_int16
+        self._feats_dev = None
+        self._n = 0
+        self._feats = np.zeros((batch, 0, 1), np.float32)  # unused storage
+
+    @property
+    def available(self) -> int:
+        return self._n
+
+    def _batch(self) -> int:
+        return self._bsz
+
+    def update_dev(self, feats_dev, n: int, final: bool = False) -> np.ndarray:
+        """feats_dev: (B, N, C) device array (cumulative, N >= n)."""
+        self._feats_dev = feats_dev
+        self._bsz = feats_dev.shape[0]
+        self._n = max(self._n, int(n))
+        return self._walk(self._n, final)
+
+    def update(self, feats_list, final: bool = False) -> np.ndarray:
+        raise TypeError("device decoder consumes update_dev()")
+
+    def _decode_window(self, lo: int, hi: int, pad_left: int) -> np.ndarray:
+        wav = self._decode_window_dev(self._feats_dev, lo, hi, pad_left)
+        out = np.asarray(wav)
+        if self._wire_int16:
+            return out.astype(np.float32) / 32767.0
+        return out

@@ -83,6 +83,42 @@ def test_no_emission_before_guard(pipeline, tiny_config, rng):
     assert out.shape == (1, 0)
 
 
+def test_device_decoder_matches_host_decoder(pipeline, tiny_config, rng):
+    """DeviceStreamingDecoder (on-device slice/pad/mask/roll windows) emits
+    the same samples as the host StreamingDecoder."""
+    from chattts_tpu.engine.streaming import DeviceStreamingDecoder
+
+    decode_jit, decode_np = pipeline
+    B, T, C = 2, 90, tiny_config.decoder.stack.idim * 2
+    feats = rng.standard_normal((B, T, C)).astype(np.float32)
+
+    host = StreamingDecoder(lambda w: np.asarray(decode_jit(jnp.asarray(w))),
+                            B, C, ctx=40, guard=32, window=96)
+
+    window = 96
+
+    def dev_window(feats_dev, lo, hi, pad_left):
+        f = jnp.pad(feats_dev, ((0, 0), (0, window), (0, 0)))
+        sl = jax.lax.dynamic_slice(f, (0, lo, 0), (B, window, C))
+        t = jnp.arange(window)
+        sl = jnp.where((t < (hi - lo))[None, :, None], sl, 0.0)
+        sl = jnp.roll(sl, pad_left, axis=1)
+        sl = jnp.where((t >= pad_left)[None, :, None], sl, 0.0)
+        return decode_jit(sl)
+
+    dev = DeviceStreamingDecoder(jax.jit(dev_window), B, C,
+                                 ctx=40, guard=32, window=window)
+    feats_dev = jnp.asarray(feats)
+    step = 17
+    for hi in range(step, T + step, step):
+        hi = min(hi, T)
+        items = [feats[b, :hi] for b in range(B)]
+        a = host.update(items, final=(hi == T))
+        b = dev.update_dev(feats_dev[:, :hi], hi, final=(hi == T))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_streaming_facade_total_length(tiny_config):
     """Facade streaming: chunks concatenate to the full utterance."""
     from chattts_tpu.core import Chat
