@@ -803,7 +803,9 @@ class Engine:
                 finish_reason=reason,
                 metrics={"gen_tokens": float(total),
                          "latency_s": time.monotonic() - req.arrival}))
-            self.stats["tokens_generated"] += n
+            # `total` counts resumed tokens too; they were never tallied at
+            # preemption time, so this does not double count
+            self.stats["tokens_generated"] += total
             self.stats["requests_finished"] += 1
         self._maybe_log()
         return outputs

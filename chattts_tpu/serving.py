@@ -22,7 +22,6 @@ from __future__ import annotations
 import queue
 import threading
 import uuid
-from dataclasses import dataclass
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -32,12 +31,6 @@ from .engine.streaming import StreamingDecoder, plan_windows
 from .utils.logger import get_logger
 
 logger = get_logger("chattts.serving")
-
-
-@dataclass
-class _Pending:
-    future: "queue.Queue"            # completion mailbox (size 1)
-    stream_q: Optional["queue.Queue"] = None  # token increments (streaming)
 
 
 class TTSService:
@@ -52,7 +45,7 @@ class TTSService:
         chat._engine_for_text()
         self._mu = threading.Lock()      # guards both engines + pending map
         self._work = threading.Event()
-        self._pending: dict[str, _Pending] = {}
+        self._pending: dict[str, "queue.Queue"] = {}
         self._stop = False
         self.max_concurrent_slots = 0    # peak code-engine occupancy (stats)
         self._driver = threading.Thread(target=self._drive, daemon=True,
@@ -92,16 +85,16 @@ class TTSService:
                                          "in-flight requests")
                         eng.interrupt()
                         for rid in list(self._pending):
-                            self._pending.pop(rid).future.put(None)
+                            self._pending.pop(rid).put(None)
                         continue
                     if eng is getattr(self.chat, "_code_engine", None):
                         self.max_concurrent_slots = max(
                             self.max_concurrent_slots,
                             eng.stats.get("peak_slots", 0))
                     for o in outs:
-                        p = self._pending.pop(o.request_id, None)
-                        if p is not None:
-                            p.future.put(o)
+                        mailbox = self._pending.pop(o.request_id, None)
+                        if mailbox is not None:
+                            mailbox.put(o)
                 if not busy:
                     self._work.clear()
 
@@ -114,9 +107,9 @@ class TTSService:
                 dropped = eng.interrupt()
                 n += len(dropped)
                 for r in dropped:
-                    p = self._pending.pop(r.request_id, None)
-                    if p is not None:
-                        p.future.put(None)
+                    mailbox = self._pending.pop(r.request_id, None)
+                    if mailbox is not None:
+                        mailbox.put(None)
         return n
 
     @staticmethod
@@ -126,12 +119,12 @@ class TTSService:
             raise InterruptedError("request dropped (interrupt/failure)")
         return out
 
-    def _submit(self, eng, reqs, stream_q=None) -> List["queue.Queue"]:
+    def _submit(self, eng, reqs) -> List["queue.Queue"]:
         futs = []
         with self._mu:
             for r in reqs:
                 mailbox = queue.Queue(maxsize=1)
-                self._pending[r.request_id] = _Pending(mailbox, stream_q)
+                self._pending[r.request_id] = mailbox
                 eng.add_request(r)
                 futs.append(mailbox)
         self._work.set()
@@ -211,7 +204,7 @@ class TTSService:
             inc_q.put((new_hid, finished))
 
         reqs = self._code_reqs([text], params, on_tokens=on_tokens)
-        self._submit(c._engine_for_code(), reqs, stream_q=inc_q)
+        self._submit(c._engine_for_code(), reqs)
 
         ctx, guard, window = plan_windows(
             c.config.decoder.stack, c.config.vocos, params.stream_batch)
