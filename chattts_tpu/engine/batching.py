@@ -482,8 +482,12 @@ class Engine:
         from .generate import use_fused_step
 
         # the whole-step megakernel serves the single-chip engine; the
-        # sharded (mesh) engine keeps the XLA step, which pjit partitions
-        self._fused = use_fused_step(cfg) and mesh is None
+        # sharded (mesh) engine keeps the XLA step, which pjit partitions.
+        # Above 16 slots the kernel's VMEM budget forces tiny kv chunks
+        # (see ops/pallas_step TC cap) and the XLA step wins - measured
+        # S=32: fused 10.3k tokens/s vs better XLA behavior at wide batch.
+        self._fused = (use_fused_step(cfg) and mesh is None
+                       and ecfg.max_num_seqs <= 16)
         self._packed = {}
         if self._fused:
             from ..ops.pallas_step import pack_step_params

@@ -333,8 +333,14 @@ def decode_step_fused(
     S = 4 + 3 * r
     if T % 8:
         raise ValueError("cache length must be a multiple of 8")
+    # kv chunk buffers are (KRING, B, TC, HD) x2: cap TC so they stay inside
+    # scoped VMEM at any batch size.  Other scratch (gate/up, append windows,
+    # per-row selectors) also grows with B, so the kv budget shrinks for
+    # large slot counts (measured: 6 MB OOMs at B=32; 3 MB fits).
+    budget = (6 << 20) if B <= 16 else (2 << 20)
+    budget_rows = max(8, budget // (2 * KRING * B * HD * 2))
     # largest multiple of 8 that divides T and fits the requested chunk
-    TC = min(t_chunk, T)
+    TC = min(t_chunk, T, (budget_rows // 8) * 8)
     while T % TC:
         TC -= 8
     assert TC >= 8
