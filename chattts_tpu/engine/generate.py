@@ -132,6 +132,15 @@ def use_fused_step(cfg: GPTConfig) -> bool:
     return jax.default_backend() == "tpu" and _fused_geometry_ok(cfg)
 
 
+def step_int8() -> bool:
+    """Opt-in int8 weight slabs for the fused step (CHATTTS_STEP_INT8=1).
+
+    Halves the per-step weight stream (the dominant HBM traffic); weights
+    are quantized per-output-column at pack time and dequantized in-kernel.
+    """
+    return os.environ.get("CHATTTS_STEP_INT8", "0") == "1"
+
+
 @functools.lru_cache(maxsize=32)
 def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
                apply_spk: bool):
@@ -299,7 +308,7 @@ class Generator:
         if use_fused_step(cfg):
             from ..ops.pallas_step import pack_step_params
 
-            self._packed = pack_step_params(gpt_params, cfg)
+            self._packed = pack_step_params(gpt_params, cfg, int8=step_int8())
 
     def _pad_prompt(self, req: GenerateRequest):
         """Left-extend prompts to the bucketed length (padding stays left)."""

@@ -62,11 +62,21 @@ def rope_rotate_matrix(head_dim: int, hd: int) -> np.ndarray:
     return R
 
 
-def pack_step_params(params: dict, cfg) -> dict:
+def pack_step_params(params: dict, cfg, int8: bool = False) -> dict:
     """Pre-pack layer weights into the kernel's slab layout.
 
     Returns {"W": (L*S, D, D) bf16, "ln1": (L, D) f32, "ln2": (L, D) f32,
-    "rope": (HD, HD) bf16}; S = 4 + 3*(I/D) square slabs per layer.
+    "rope": (HD, HD) bf16, "wscale": (L, S, D) f32}; S = 4 + 3*(I/D) square
+    slabs per layer.
+
+    ``int8=True`` (env ``CHATTTS_STEP_INT8=1``) quantizes each slab to int8
+    with a per-output-column symmetric scale — the decode step is
+    HBM-bandwidth-bound on the ~378 MB/step weight stream, so halving the
+    slab bytes buys real time; the kernel dequantizes after the DMA
+    (astype to bf16, scale applied to the (B, D) matmul result).  Per-column
+    scales keep the relative weight error ~0.4%; opt-in, pass
+    ``tests/test_pallas_step.py::test_fused_step_int8*`` before trusting a
+    new geometry.
     """
     D, I = cfg.hidden_size, cfg.intermediate_size
     H, Dh = cfg.num_attention_heads, cfg.head_dim
@@ -90,8 +100,20 @@ def pack_step_params(params: dict, cfg) -> dict:
             slabs.append(down[j * D:(j + 1) * D, :])
         ln1.append(lp["ln1"])
         ln2.append(lp["ln2"])
+    S = 4 + 3 * r
+    L = len(params["layers"])
+    W = jnp.stack(slabs)  # (L*S, D, D)
+    if int8:
+        scale = jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-8) / 127.0
+        W = jnp.clip(jnp.round(W / scale[:, None, :]), -127, 127).astype(
+            jnp.int8)
+        wscale = scale.astype(jnp.float32).reshape(L, S, D)
+    else:
+        W = W.astype(jnp.bfloat16)
+        wscale = jnp.ones((L, S, D), jnp.float32)
     return {
-        "W": jnp.stack(slabs).astype(jnp.bfloat16),
+        "W": W,
+        "wscale": wscale,
         "ln1": jnp.stack(ln1).astype(jnp.float32),
         "ln2": jnp.stack(ln2).astype(jnp.float32),
         "rope": jnp.asarray(rope_rotate_matrix(Dh, HD), jnp.bfloat16),
@@ -104,19 +126,24 @@ def _rms(x, w, eps):
 
 
 def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
-            x_ref, rope_ref, w_hbm, kc_hbm, vc_hbm,
+            ws_ref, x_ref, rope_ref, w_hbm, kc_hbm, vc_hbm,
             x_out, kc_out, vc_out,
             wbuf, kbuf, vbuf, rowk, rowv, xs, gate_s, up_s,
             wsem, ksem, vsem, rsem, *,
             B: int, D: int, HD: int, H: int, I: int, T: int, TC: int,
-            S: int, L: int, eps: float, scale: float, per_slot: bool):
+            S: int, L: int, eps: float, scale: float, per_slot: bool,
+            int8: bool, WRING: int):
     l = pl.program_id(0)
     base = l * S
     r = I // D
     cur_max = cur_ref[0]        # max append position (chunk loop bound)
+    cur_min = cur_ref[1 + B]    # min append position (prefetch safety)
     curv = curv_ref[...].astype(jnp.int32)  # (B, 1) per-row positions
     nc = cur_max // TC + 1  # visible chunks (attention reads [0, cur])
     lo = lo_ref[...].astype(jnp.int32)  # (B, 1) first visible slot per row
+    # chunk 0 of layer l+1 can stream during layer l's MLP iff no append
+    # window can touch rows [0, TC) — i.e. every row's cur is past chunk 0
+    prefetch0 = cur_min >= TC
 
     def start_wdma(g):
         cp = pltpu.make_async_copy(w_hbm.at[g], wbuf.at[g % WRING],
@@ -150,13 +177,35 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
         g = base + s
         pltpu.make_async_copy(w_hbm.at[g], wbuf.at[g % WRING],
                               wsem.at[g % WRING]).wait()
-        out = mm(a, wbuf[g % WRING])
+        w = wbuf[g % WRING]
+        if int8:
+            # dequant: int8 slab -> bf16, per-output-column scale folded
+            # into the (B, D) result (cheap VPU work vs the halved DMA)
+            out = mm(a, w.astype(jnp.bfloat16)) * ws_ref[s][None, :]
+        else:
+            out = mm(a, w)
         nxt = g + WRING
 
         @pl.when(nxt < L * S)
         def _():
             start_wdma(nxt)
         return out
+
+    # append-window RMW reads depend only on ``cur`` — start them first so
+    # the HBM round trip hides behind the qkv matmuls + rope
+    if per_slot:
+        for b in range(B):
+            s8 = (cur_ref[1 + b] // 8) * 8
+            pltpu.make_async_copy(kc_out.at[l, b, pl.ds(s8, 8)], rowk.at[b],
+                                  rsem.at[0, b]).start()
+            pltpu.make_async_copy(vc_out.at[l, b, pl.ds(s8, 8)], rowv.at[b],
+                                  rsem.at[1, b]).start()
+    else:
+        start8 = (cur_max // 8) * 8
+        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
+                              rsem.at[0, 0]).start()
+        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
+                              rsem.at[1, 0]).start()
 
     x = xs[...]  # (B, D) f32
     h = _rms(x, ln1_ref[0], eps)
@@ -176,19 +225,13 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     # window - all 2B reads (then writes) go out concurrently and the waits
     # drain them, so the cost is one DMA round trip, not B of them.
     if per_slot:
-        rd, wr = [], []
+        wr = []
         for b in range(B):
             s8 = (cur_ref[1 + b] // 8) * 8
-            rd.append((pltpu.make_async_copy(
-                kc_out.at[l, b, pl.ds(s8, 8)], rowk.at[b], rsem.at[0, b]),
-                pltpu.make_async_copy(
-                vc_out.at[l, b, pl.ds(s8, 8)], rowv.at[b], rsem.at[1, b])))
-        for ck, cv in rd:
-            ck.start()
-            cv.start()
-        for ck, cv in rd:
-            ck.wait()
-            cv.wait()
+            pltpu.make_async_copy(
+                kc_out.at[l, b, pl.ds(s8, 8)], rowk.at[b], rsem.at[0, b]).wait()
+            pltpu.make_async_copy(
+                vc_out.at[l, b, pl.ds(s8, 8)], rowv.at[b], rsem.at[1, b]).wait()
         start8v = (curv // 8) * 8  # (B, 1)
         sel = (lax.broadcasted_iota(jnp.int32, (B, 8, 1), 1)
                == (curv - start8v)[:, :, None])
@@ -209,10 +252,6 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     else:
         start8 = (cur_max // 8) * 8
         pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
-                              rsem.at[0, 0]).start()
-        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
-                              rsem.at[1, 0]).start()
-        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
                               rsem.at[0, 0]).wait()
         pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
                               rsem.at[1, 0]).wait()
@@ -229,6 +268,10 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
         pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
                               rsem.at[1, 0]).wait()
 
+    # (deferring these write waits into the chunk loop measured ~15 us
+    # SLOWER per step across repeated A/Bs - the waits are already off the
+    # critical path here and the extra in-loop control flow costs more)
+
     # ---- attention over chunks [0, cur], online softmax ------------------
     head_of = lax.broadcasted_iota(jnp.int32, (HD, H), 0) // (HD // H)
     colh = lax.broadcasted_iota(jnp.int32, (HD, H), 1)
@@ -237,7 +280,11 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     qms = [jnp.where(eh, (q[b] * scale)[:, None], 0.0).astype(jnp.bfloat16)
            for b in range(B)]  # per-row (HD, H) block-diag selectors
 
-    start_kv(l, 0, 0)
+    # chunk 0 was prefetched at the end of layer l-1 unless this is layer 0
+    # or prefetch was unsafe; the wait in chunk_body pairs with either start
+    @pl.when((l == 0) | jnp.logical_not(prefetch0))
+    def _():
+        start_kv(l, 0, 0)
 
     def chunk_body(c, carry):
         m_p, l_p, acc = carry  # (B, H), (B, H), (B, HD) f32
@@ -287,6 +334,10 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     o = acc / l_exp  # (B, HD)
 
     x = x + mm_slab(o, 3)
+
+    @pl.when((l + 1 < L) & prefetch0)
+    def _():
+        start_kv(l + 1, 0, 0)   # overlap next layer's first kv chunk w/ MLP
     h2 = _rms(x, ln2_ref[0], eps)
     for j in range(r):
         gate_s[:, j * D:(j + 1) * D] = mm_slab(h2, 4 + j)
@@ -356,14 +407,21 @@ def decode_step_fused(
     per_slot = cur.ndim == 1
     cur_rows = (cur if per_slot else jnp.broadcast_to(cur, (B,))).astype(
         jnp.int32)
-    # SMEM scalars: [cur_max, cur_0..cur_B-1] (per-row append windows need
-    # scalar reads); VMEM copy for the vectorized visibility mask
-    cur_smem = jnp.concatenate([jnp.max(cur_rows)[None], cur_rows])
+    # SMEM scalars: [cur_max, cur_0..cur_B-1, cur_min] (per-row append
+    # windows need scalar reads); VMEM copy for the vectorized visibility
+    # mask.  cur_min gates the next-layer chunk-0 prefetch.
+    cur_smem = jnp.concatenate(
+        [jnp.max(cur_rows)[None], cur_rows, jnp.min(cur_rows)[None]])
 
+    int8 = packed["W"].dtype == jnp.int8
+    wscale = packed.get("wscale")
+    if wscale is None:
+        wscale = jnp.ones((L, S, D), jnp.float32)
+    wring = WRING * 2 if int8 else WRING  # int8 slabs are half-size
     kernel = functools.partial(
         _kernel, B=B, D=D, HD=HD, H=H, I=I, T=T, TC=TC, S=S, L=L,
         eps=cfg.rms_norm_eps, scale=1.0 / float(np.sqrt(Dh)),
-        per_slot=per_slot)
+        per_slot=per_slot, int8=int8, WRING=wring)
     x_out, k2, v2 = pl.pallas_call(
         kernel,
         grid=(L,),
@@ -379,6 +437,7 @@ def decode_step_fused(
             # (Mosaic block rule) while staying per-layer.
             pl.BlockSpec((None, 1, D), lambda l: (l, 0, 0)),  # ln1 row
             pl.BlockSpec((None, 1, D), lambda l: (l, 0, 0)),  # ln2 row
+            pl.BlockSpec((None, S, D), lambda l: (l, 0, 0)),  # dequant scales
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x in
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rope matrix
             pl.BlockSpec(memory_space=pltpu.HBM),    # W slabs
@@ -396,7 +455,7 @@ def decode_step_fused(
             jax.ShapeDtypeStruct((L, B, T, HD), v_cache.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((WRING, D, D), jnp.bfloat16),      # weight ring
+            pltpu.VMEM((wring, D, D), packed["W"].dtype),  # weight ring
             pltpu.VMEM((KRING, B, TC, HD), k_cache.dtype),
             pltpu.VMEM((KRING, B, TC, HD), v_cache.dtype),
             pltpu.VMEM((B, 8, HD), k_cache.dtype),        # append window k
@@ -404,17 +463,18 @@ def decode_step_fused(
             pltpu.VMEM((B, D), jnp.float32),              # hidden carry
             pltpu.VMEM((B, I), jnp.float32),              # gate
             pltpu.VMEM((B, I), jnp.float32),              # up
-            pltpu.SemaphoreType.DMA((WRING,)),
+            pltpu.SemaphoreType.DMA((wring,)),
             pltpu.SemaphoreType.DMA((KRING,)),
             pltpu.SemaphoreType.DMA((KRING,)),
             pltpu.SemaphoreType.DMA((2, B)),
         ],
-        input_output_aliases={10: 1, 11: 2},
+        input_output_aliases={11: 1, 12: 2},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(cur_smem, cur_rows.reshape(B, 1), lo.reshape(B, 1).astype(jnp.int32),
       cosf, sinf,
       packed["ln1"].reshape(L, 1, D), packed["ln2"].reshape(L, 1, D),
+      wscale,
       emb.astype(jnp.float32),
       packed["rope"], packed["W"], k_cache, v_cache)
     return x_out, k2, v2

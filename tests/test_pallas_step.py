@@ -129,6 +129,41 @@ def test_fused_step_per_slot_cur():
             np.asarray(cache.k[0].reshape(B, T, HD)[b, :c - 8]))
 
 
+def test_int8_pack_quantization_error_bounded():
+    """Dequantized int8 slabs stay within the per-column scale's rounding
+    error (|err| <= scale/2 elementwise)."""
+    params = llama.init_params(jax.random.PRNGKey(0), CFG)
+    ref = pallas_step.pack_step_params(params, CFG)
+    q = pallas_step.pack_step_params(params, CFG, int8=True)
+    assert q["W"].dtype == jnp.int8
+    L, S, D = q["wscale"].shape
+    W_ref = np.asarray(ref["W"], np.float32).reshape(L * S, D, D)
+    W_deq = (np.asarray(q["W"], np.float32)
+             * np.asarray(q["wscale"]).reshape(L * S, 1, D))
+    err = np.abs(W_deq - W_ref)
+    bound = np.asarray(q["wscale"]).reshape(L * S, 1, D) * 0.5 + 1e-3
+    assert (err <= bound + np.abs(W_ref) * 8e-3).all()  # bf16 ref rounding
+
+
+def test_fused_step_int8_close_to_xla():
+    """int8-slab fused step tracks the f32 XLA step within quantization
+    tolerance (per-slot cur path included)."""
+    cur = 11
+    params, _, cache, emb, lo, kv, pos = _setup(cur=cur)
+    packed = pallas_step.pack_step_params(params, CFG, int8=True)
+    h_ref, _ = llama.decode_step(
+        params, emb, cache, jnp.int32(cur), kv, pos, CFG)
+    HD = CFG.num_attention_heads * CFG.head_dim
+    kc = jnp.stack([c.reshape(B, T, HD) for c in cache.k])
+    vc = jnp.stack([c.reshape(B, T, HD) for c in cache.v])
+    x_out, _, _ = pallas_step.decode_step_fused(
+        packed, emb, kc, vc, jnp.int32(cur), lo, pos, CFG,
+        t_chunk=8, interpret=True)
+    h_fused = llama.rms_norm(x_out, params["norm"], CFG.rms_norm_eps)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               atol=0.15, rtol=0.15)
+
+
 def test_generator_with_fused_step(monkeypatch):
     """The whole Generator loop runs with CHATTTS_PALLAS_STEP=1 (interpret
     mode on CPU) and stays seed-deterministic."""
