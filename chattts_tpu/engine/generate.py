@@ -254,7 +254,7 @@ def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
 
     def chunk_fn(pg, pe, st: GenState, sp: sampling.SamplingParams,
                  step_end: jnp.ndarray, eos_text: jnp.ndarray,
-                 packed: dict) -> GenState:
+                 packed: dict):
         pg_ref[0] = pg
         pe_ref[0] = pe
         packed_ref[0] = packed
@@ -264,7 +264,20 @@ def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
             return (s.step < step_end) & ~jnp.all(s.finish)
 
         st, _, _ = lax.while_loop(cond, step_body, (st, sp, eos_text))
-        return st
+        # every scalar the host scheduler reads, in ONE packed array: this
+        # link's blocking reads cost ~20-30 ms each, so separate step /
+        # finish / end_idx fetches dominated short generations
+        status = jnp.concatenate([
+            st.step[None],
+            jnp.all(st.finish)[None].astype(jnp.int32),
+            jnp.any(st.finish & (st.end_idx == 0))[None].astype(jnp.int32),
+            st.end_idx,
+            st.finish.astype(jnp.int32),
+        ])
+        # generated-region ids ride along so the host fetches status + ids
+        # in one device_get (a second blocking read costs another ~25 ms)
+        ids_gen = lax.slice_in_dim(st.ids, T0, T0 + max_new, axis=1)
+        return st, status, ids_gen
 
     prefill_jit = jax.jit(prefill_fn)
     chunk_jit = jax.jit(chunk_fn, donate_argnums=(2,))
@@ -335,10 +348,11 @@ class Generator:
         context = context or Interrupt()
         max_attempts = 4 if (req.ensure_non_empty and req.seed is None) else 1
         for attempt in range(max_attempts):
-            st = yield from self._run_once(req, context, attempt)
-            empty = np.asarray((st.end_idx == 0) & st.finish)
-            if not empty.any() or attempt == max_attempts - 1 or context.get():
-                yield self._materialize(req, st)
+            st, status, ids_np = yield from self._run_once(
+                req, context, attempt)
+            any_empty = bool(status[2])
+            if not any_empty or attempt == max_attempts - 1 or context.get():
+                yield self._materialize(req, st, status, ids_np)
                 return
             # reference regenerates on unexpected immediate EOS (gpt.py:527-570)
 
@@ -367,29 +381,34 @@ class Generator:
         eos_text = jnp.int32(req.eos_token)
         chunk = req.stream_batch if req.stream_batch > 0 else req.max_new
         done = 0
+        status_np = ids_np = None
         while done < req.max_new:
             step_end = jnp.int32(min(done + chunk, req.max_new))
-            st = chunk_jit(self.gpt_params, self.embed_params, st, sp,
-                           step_end, eos_text, self._packed)
-            done = int(st.step)  # syncs once per chunk
-            finished = bool(jnp.all(st.finish))
+            st, status, ids_gen = chunk_jit(
+                self.gpt_params, self.embed_params, st, sp,
+                step_end, eos_text, self._packed)
+            # ONE host sync per chunk: scheduling scalars + generated ids
+            status_np, ids_np = jax.device_get((status, ids_gen))
+            done = int(status_np[0])
+            finished = bool(status_np[1])
             if req.stream_batch > 0 and not finished and done < req.max_new:
-                yield self._materialize(req, st, partial=True)
+                yield self._materialize(req, st, status_np, ids_np,
+                                        partial=True)
             if finished:
                 break
             if context.get():
                 break
-        return st
+        if status_np is None:  # max_new == 0: nothing generated
+            status_np = np.zeros(3 + 2 * B, np.int32)
+            ids_np = np.zeros((B, 0, self.cfg.num_vq), np.int32)
+        return st, status_np, ids_np
 
     def _materialize(self, req: GenerateRequest, st: GenState,
+                     status_np: np.ndarray, ids_np: np.ndarray,
                      partial: bool = False) -> GenerationOutputs:
-        T0 = st.ids.shape[1] - st.hiddens.shape[1]
-        end = np.asarray(st.end_idx)
-        # slice on device before transferring: partial (streaming) yields
-        # happen every few dozen steps and the host link is expensive - only
-        # the generated prefix ever leaves the device
+        B = st.ids.shape[0]
+        end = status_np[3:3 + B]  # packed by chunk_fn; no extra device read
         n_max = int(end.max()) if end.size else 0
-        ids_np = np.asarray(st.ids[:, T0 : T0 + n_max])
         hiddens_dev = end_dev = None
         if req.return_hidden:
             # the hiddens stay on device for BOTH final and partial yields:
@@ -404,5 +423,6 @@ class Generator:
             seq = ids_np[b, :n]
             out_ids.append(seq[:, 0].copy() if req.infer_text else seq.copy())
         return GenerationOutputs(
-            ids=out_ids, hiddens=[], finished=np.asarray(st.finish),
+            ids=out_ids, hiddens=[],
+            finished=status_np[3 + B:3 + 2 * B].astype(bool),
             hiddens_dev=hiddens_dev, end_dev=end_dev)
