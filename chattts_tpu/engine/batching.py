@@ -67,6 +67,16 @@ class EngineConfig:
     prompt_buckets: tuple = None
     max_new_tokens: int = 2048     # per-slot generation region
     chunk_steps: int = 16          # decode steps between host scheduling
+    # upper chunk for the offline ``generate`` loop: when nothing is waiting
+    # and no active request streams, the scheduler has nothing to decide
+    # between chunks, so it runs longer chunks to amortize the per-chunk
+    # host sync (the jitted loop exits early once every slot finishes, so
+    # long chunks never waste decode steps).  ``n_steps`` is a traced
+    # argument - no recompile per chunk length.  ``step()`` keeps the
+    # short ``chunk_steps`` quantum unless told otherwise: the serving loop
+    # admits/aborts/preempts only at chunk boundaries, so the quantum IS
+    # the scheduling latency there.
+    chunk_steps_max: int = 128
     infer_text: bool = False       # text mode (refine pass) vs code mode
     text_eos_token: int = 0        # [Ebreak] id (text mode; default per engine)
     collect_hidden: bool = True    # accumulate per-step hiddens (decoder path)
@@ -439,14 +449,17 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
             s = carry[0]
             return (carry[4] < n_steps) & jnp.any(s.active & ~s.finish)
 
-        st, _, _, _, _ = lax.while_loop(
+        st, _, _, _, ran = lax.while_loop(
             cond, step_body, (st, gp, ep, packed, jnp.int32(0)))
         # all per-slot scheduling scalars in ONE array: the host reads slot
         # status with a single device->host transfer per chunk (the link
-        # round trip dominates engine overhead otherwise)
+        # round trip dominates engine overhead otherwise).  Row 6 carries the
+        # number of decode steps actually executed (the loop exits early once
+        # every slot finishes, so this can be < n_steps).
         status = jnp.stack([
             st.finish.astype(jnp.int32), st.active.astype(jnp.int32),
-            st.end_idx, st.step_in, st.max_new, st.seq_off])
+            st.end_idx, st.step_in, st.max_new, st.seq_off,
+            jnp.full_like(st.end_idx, ran)])
         return st, status
 
     prefill_jits = {b: make_prefill(b) for b in ecfg.buckets}
@@ -575,18 +588,25 @@ class Engine:
                 r.on_tokens(r.request_id, None, None, True)
         return dropped
 
-    def step(self) -> List[EngineOutput]:
+    def step(self, long_chunk: bool = False) -> List[EngineOutput]:
         self._maybe_preempt()
         self._admit()
         occ = sum(r is not None for r in self.slots)
         self.stats["peak_slots"] = max(self.stats.get("peak_slots", 0), occ)
         if not occ:
             return []
+        chunk = self.ecfg.chunk_steps
+        if (long_chunk and chunk < self.ecfg.chunk_steps_max
+                and not self.waiting
+                and all(r is None or r.on_tokens is None
+                        for r in self.slots)):
+            # no scheduling decisions pending: amortize the host sync
+            chunk = self.ecfg.chunk_steps_max
         self.state, status = self._chunk(
             self.gpt_params, self.embed_params, self._packed, self.state,
-            jnp.int32(self.ecfg.chunk_steps))
+            jnp.int32(chunk))
         self._status = np.asarray(status)  # ONE host read per chunk
-        self.stats["steps"] += self.ecfg.chunk_steps
+        self.stats["steps"] += int(self._status[6, 0])
         for s, r in enumerate(self.slots):
             if r is not None:
                 self._slot_chunks[s] += 1
@@ -606,7 +626,7 @@ class Engine:
             if context is not None and context.get():
                 self.interrupt()
                 break
-            outputs.extend(self.step())
+            outputs.extend(self.step(long_chunk=True))
         order = {r.request_id: i for i, r in enumerate(requests)}
         outputs.sort(key=lambda o: order.get(o.request_id, 1 << 30))
         return outputs
@@ -699,7 +719,7 @@ class Engine:
         if any(r is None for r in self.slots):
             return
         st = self.state
-        finish, _, end_idx, step_in, _, seq_off = self._status
+        finish, _, end_idx, step_in, _, seq_off = self._status[:6]
         max_bucket = max(self.ecfg.buckets)
         cands = []
         for s, req in enumerate(self.slots):
@@ -737,7 +757,7 @@ class Engine:
 
     def _harvest(self) -> List[EngineOutput]:
         st = self.state
-        finish, active, end_idx, step_in, max_new, _ = self._status
+        finish, active, end_idx, step_in, max_new, _ = self._status[:6]
         outputs: List[EngineOutput] = []
         Tp = self.ecfg.max_prompt_len
         # pre-scan: how many generated positions any consumer needs, then
