@@ -343,3 +343,33 @@ def test_prompt_bucket_validation(tiny_config, params):
                         max_new_tokens=8, prompt_buckets=(8, 32))
     with pytest.raises(ValueError):
         Engine(tiny_config.gpt, ecfg, params[0], params[1])
+
+
+def test_long_chunks_match_short_chunks(tiny_config, params):
+    """Offline generate amortizes host sync with long chunks when nothing is
+    waiting/streaming; tokens must be bit-identical to short-chunk stepping
+    and the steps stat must count steps actually executed (early exit)."""
+    cfg = tiny_config.gpt
+    mk = lambda: _mk_engine(tiny_config, params, max_num_seqs=4,
+                            chunk_steps=2, max_new_tokens=16)
+    reqs = lambda: [_req(cfg, f"c{i}", min_new=4, max_new=10, seed=i)
+                    for i in range(3)]
+
+    eng_long = mk()
+    assert eng_long.ecfg.chunk_steps_max >= 16
+    outs_long = eng_long.generate(reqs())  # generate() opts into long chunks
+
+    eng_short = mk()
+    for r in reqs():
+        eng_short.add_request(r)
+    outs_short = []
+    while eng_short.has_unfinished():
+        outs_short.extend(eng_short.step())  # serving quantum: short chunks
+
+    by_id = {o.request_id: o for o in outs_short}
+    for o in outs_long:
+        np.testing.assert_array_equal(o.ids, by_id[o.request_id].ids)
+    # the long-chunk engine ran everything in ONE dispatch and its steps
+    # stat reflects actual executed steps, not the requested chunk length
+    assert eng_long.stats["steps"] <= eng_long.ecfg.chunk_steps_max
+    assert eng_long.stats["steps"] >= max(o.ids.shape[0] for o in outs_long)
