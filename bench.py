@@ -49,10 +49,12 @@ def main():
 
     def run():
         t0 = time.perf_counter()
-        result = next(chat._infer_code(text, False, True, params))
-        wavs = chat._decode_to_wavs(result, use_decoder=True)
+        # the product's non-streaming path: pipelined chunked decode with
+        # windowed vocoding and async PCM fetches (core._generate_wavs)
+        wavs = chat._generate_wavs(text, True, params)
         wall = time.perf_counter() - t0
-        steps = max(r.shape[0] for r in result.ids)
+        # istft yields (2*steps - 1) frames * hop samples: round up
+        steps = (wavs.shape[1] + 256) // 512
         return wall, steps, wavs
 
     # warmup (compile)

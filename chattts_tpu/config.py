@@ -145,6 +145,14 @@ class RuntimeConfig:
     # public API still returns float32 (dequantized).  Serving and bench
     # enable it; default off to keep library numerics bit-identical.
     wire_int16: bool = False
+    # non-streaming synthesis pipelines chunked decode with windowed
+    # vocoding and async PCM fetches (exact guard - no first-emission
+    # approximation), overlapping the host-link transfers with device
+    # compute.  None = auto (on for the TPU backend); env
+    # CHATTTS_PIPELINED_DECODE=0/1 overrides.
+    pipelined_decode: Optional[bool] = None
+    # decode chunk length (steps) for the pipelined non-streaming path
+    pipeline_chunk: int = 96
 
 
 @dataclass(frozen=True)

@@ -384,10 +384,8 @@ class Chat:
         # (core.py:435-453)
         if split_text and len(text) > 1 and params_infer_code.spk_smp is None:
             refer_text = text[0]
-            result = next(self._infer_code(
-                [refer_text], False, use_decoder, params_infer_code))
-            wavs = self._decode_to_wavs(result, use_decoder)
-            result.destroy()
+            wavs = self._generate_wavs([refer_text], use_decoder,
+                                       params_infer_code)
             if len(wavs) and wavs[0].size:
                 params_infer_code.spk_smp = self.sample_audio_speaker(wavs[0])
                 params_infer_code.txt_smp = refer_text
@@ -402,10 +400,8 @@ class Chat:
                 yield from self._stream_batch(
                     batch, use_decoder, params_infer_code)
             else:
-                for result in self._infer_code(
-                        batch, False, use_decoder, params_infer_code):
-                    yield self._decode_to_wavs(result, use_decoder)
-                    result.destroy()
+                yield self._generate_wavs(batch, use_decoder,
+                                          params_infer_code)
 
     def _stream_batch(self, batch, use_decoder, params):
         """Streaming synthesis with incremental windowed vocoding.
@@ -443,10 +439,10 @@ class Chat:
                         wire_int16=self.config.runtime.wire_int16,
                         ctx=ctx, guard=guard, window=window, first_guard=fg)
                 last = ("dev", result.hiddens_dev,
-                        result.hiddens_dev.shape[1])
+                        result.hiddens_dev.shape[1], result.end_dev)
                 chunk = sd.update_dev(result.hiddens_dev,
                                       result.hiddens_dev.shape[1],
-                                      final=final)
+                                      final=final, end_dev=result.end_dev)
             else:
                 if sd is None:
                     sd = StreamingDecoder(
@@ -457,7 +453,7 @@ class Chat:
                         int_features=not use_decoder, first_guard=fg)
                 items = (result.materialize_hiddens() if use_decoder
                          else result.ids)
-                last = ("np", items, None)
+                last = ("np", items, None, None)
                 chunk = sd.update(items, final=final)
             pending = np.concatenate([pending, chunk], axis=1)
             result.destroy()
@@ -472,8 +468,9 @@ class Chat:
                 yield emit
         # tail flush: whatever remains, silence-stripped (core.py:501-503)
         if sd is not None and sd.emitted < sd.available and last is not None:
-            kind, payload, n = last
-            tailing = (sd.update_dev(payload, n, final=True) if kind == "dev"
+            kind, payload, n, end_dev = last
+            tailing = (sd.update_dev(payload, n, final=True, end_dev=end_dev)
+                       if kind == "dev"
                        else sd.update(payload, final=True))
             pending = np.concatenate([pending, tailing], axis=1)
         keep = np.sum(np.abs(pending) > 1e-5, axis=0) > 0
@@ -493,19 +490,27 @@ class Chat:
         """Device-side window decode for streaming: slice/pad/mask/roll the
         hidden window, run the mel decoder + vocoder, and (optionally)
         quantize - all on device; only the finished sample window transfers.
-        Semantics mirror StreamingDecoder._decode_window exactly."""
+        Semantics mirror StreamingDecoder._decode_window exactly.  When a
+        per-row ``end`` (generated lengths, device (B,)) is supplied, hidden
+        positions at/after a row's end are zeroed before the convs - the
+        generation buffer keeps accumulating garbage hiddens for finished
+        rows, and the one-shot decode (_device_decode) zero-masks the same
+        region."""
         cfg = self.config
         wire_int16 = cfg.runtime.wire_int16
-        jitted = self._device_window_jits.get(window)
-        if jitted is None:
-            def f(dp, vp, feats, lo, hi, pad_left):
+
+        def _mk(masked: bool):
+            def f(dp, vp, feats, lo, hi, pad_left, *end):
                 B = feats.shape[0]
                 # pad so the dynamic window slice never clamps
                 feats = jnp.pad(feats, ((0, 0), (0, window), (0, 0)))
                 sl = jax.lax.dynamic_slice(
                     feats, (0, lo, 0), (B, window, feats.shape[2]))
                 t = jnp.arange(window)
-                sl = jnp.where((t < (hi - lo))[None, :, None], sl, 0.0)
+                keep = (t < (hi - lo))[None, :]
+                if masked:
+                    keep = keep & ((lo + t)[None, :] < end[0][:, None])
+                sl = jnp.where(keep[:, :, None], sl, 0.0)
                 sl = jnp.roll(sl, pad_left, axis=1)
                 sl = jnp.where((t >= pad_left)[None, :, None], sl, 0.0)
                 mel = dvae_mod.decode_from_hidden(dp, sl, cfg=cfg.decoder)
@@ -514,17 +519,122 @@ class Chat:
                     return jnp.clip(wav * 32767.0, -32767,
                                     32767).astype(jnp.int16)
                 return wav
+            return jax.jit(f)
 
-            jitted = jax.jit(f)
-            self._device_window_jits[window] = jitted
+        jits = self._device_window_jits.get(window)
+        if jits is None:
+            jits = (_mk(False), _mk(True))
+            self._device_window_jits[window] = jits
 
-        def call(feats_dev, lo, hi, pad_left):
-            return jitted(self.decoder_params, self.vocos_params, feats_dev,
-                          jnp.int32(lo), jnp.int32(hi), jnp.int32(pad_left))
+        def call(feats_dev, lo, hi, pad_left, end_dev=None):
+            args = (self.decoder_params, self.vocos_params, feats_dev,
+                    jnp.int32(lo), jnp.int32(hi), jnp.int32(pad_left))
+            if end_dev is not None:
+                return jits[1](*args, end_dev)
+            return jits[0](*args)
 
         return call
 
     # -- decoding ------------------------------------------------------
+
+    def _generate_wavs(self, batch: List[str], use_decoder: bool,
+                       params: "Chat.InferCodeParams") -> np.ndarray:
+        """Non-streaming synthesis for one batch of texts.
+
+        Prefers the PIPELINED path (chunked decode + windowed vocode with
+        async PCM fetches - the host-link transfers overlap device compute)
+        when device-resident hiddens are available; falls back to the
+        one-shot decode otherwise (ids path, engine backend, or
+        runtime.pipelined_decode off)."""
+        rt = self.config.runtime
+        pipelined = rt.pipelined_decode
+        if pipelined is None:
+            pipelined = jax.default_backend() == "tpu"
+        env = os.environ.get("CHATTTS_PIPELINED_DECODE")
+        if env is not None:
+            pipelined = env == "1"
+        if (pipelined and use_decoder
+                and not getattr(self, "use_engine", False)):
+            out = self._pipelined_wavs(batch, params)
+            if out is not None:
+                return out
+        result = next(self._infer_code(batch, False, use_decoder, params))
+        wavs = self._decode_to_wavs(result, use_decoder)
+        result.destroy()
+        return wavs
+
+    def _pipelined_wavs(self, batch: List[str],
+                        params: "Chat.InferCodeParams"
+                        ) -> Optional[np.ndarray]:
+        """Chunked decode -> windowed vocode -> async PCM fetch pipeline.
+
+        The one-shot path serializes [decode 100%] -> [vocode] -> [one big
+        blocking PCM fetch]; on a slow host link the tail transfer is dead
+        time.  Here the generator yields every ``pipeline_chunk`` steps
+        with one chunk of speculative dispatch-ahead (the status read's
+        round trip hides behind device compute), each yield advances an
+        exact-guard sliding vocoder window on device, and every emitted
+        sample window starts an async device->host copy immediately - by
+        assembly time most PCM has already crossed the link.  Numerics:
+        same guard math as streaming with ``first_guard=None`` (exact
+        receptive cone), same per-row end masking as the one-shot decode;
+        equality is pinned by tests/test_streaming.py."""
+        from .engine.streaming import AsyncDeviceWindows, plan_windows
+
+        rt = self.config.runtime
+        chunk = max(16, rt.pipeline_chunk)
+        ctx, guard, window = plan_windows(self.config.decoder.stack,
+                                          self.config.vocos, chunk)
+        sd = None
+        last = None
+        ends = None
+        parts: List = []
+        final_res = None
+        for result in self._infer_code(batch, True, True, params,
+                                       stream_batch_override=chunk,
+                                       speculate=True):
+            if result.hiddens_dev is None:
+                return None  # no device hiddens: caller falls back
+            if sd is None:
+                sd = AsyncDeviceWindows(
+                    self._device_window_fn(window), len(batch),
+                    self.config.gpt.hidden_size,
+                    wire_int16=rt.wire_int16,
+                    ctx=ctx, guard=guard, window=window)
+            n = result.hiddens_dev.shape[1]
+            parts += sd.update_dev(result.hiddens_dev, n,
+                                   end_dev=result.end_dev,
+                                   final=bool(result.finished.all()))
+            last = (result.hiddens_dev, n, result.end_dev)
+            ends = [ids.shape[0] for ids in result.ids]
+            if final_res is not None:
+                final_res.destroy()
+            final_res = result
+        B = len(batch)
+        if last is not None and last[1] < window:
+            # shorter than one window: the final flush would have to pad
+            # INSIDE the tensor, whose zeros are live through the conv/norm
+            # stacks - only a FULL final window has exact edge semantics.
+            # Use the one-shot bucketed decode instead (same as before).
+            wavs = self._decode_to_wavs(final_res, True)
+            final_res.destroy()
+            return wavs
+        if sd is not None and last is not None and sd.emitted < sd.available:
+            parts += sd.update_dev(last[0], last[1], end_dev=last[2],
+                                   final=True)
+        if final_res is not None:
+            final_res.destroy()
+        if not parts or ends is None:
+            return np.zeros((B, 0), np.float32)
+        wav = np.concatenate([np.asarray(p) for p in parts], axis=1)
+        if rt.wire_int16:
+            wav = wav.astype(np.float32) / 32767.0
+        # trim per-row generation tails (windows are emitted to the batch
+        # max; shorter rows decode zeros there, but keep the cut exact)
+        spc = 2 * self.config.vocos.hop_length
+        for b, nb in enumerate(ends):
+            wav[b, nb * spc:] = 0.0
+        return wav
 
     def _decode_to_wavs(self, result: GenerationOutputs, use_decoder: bool
                         ) -> np.ndarray:
@@ -748,7 +858,9 @@ class Chat:
                 finished=np.asarray(done))
 
     def _infer_code(self, text: List[str], stream: bool, return_hidden: bool,
-                    params: "Chat.InferCodeParams"):
+                    params: "Chat.InferCodeParams",
+                    stream_batch_override: Optional[int] = None,
+                    speculate: bool = False):
         if getattr(self, "use_engine", False):
             return self._infer_code_engine(text, params, stream=stream)
         cfg = self.config.gpt
@@ -775,7 +887,9 @@ class Chat:
                      if params.spk_emb is not None else None),
             spk_emb_ids=self.tokenizer.spk_emb_ids,
             seed=params.manual_seed, ensure_non_empty=params.ensure_non_empty,
-            stream_batch=params.stream_batch if stream else 0,
+            stream_batch=(stream_batch_override if stream_batch_override
+                          else (params.stream_batch if stream else 0)),
             return_hidden=return_hidden,
+            speculate=speculate,
         )
         return self.generator.generate(req, self.context)

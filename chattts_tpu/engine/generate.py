@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import os
+from collections import deque
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -305,6 +306,15 @@ class GenerateRequest:
     ensure_non_empty: bool = True
     stream_batch: int = 0    # >0: yield partial outputs every N steps
     return_hidden: bool = False
+    # dispatch chunk k+1 BEFORE blocking on chunk k's status so the host
+    # link round trip (~25 ms here) hides behind device compute.  Partial
+    # yields then reference the in-flight successor state - safe because
+    # rows [0, done_k) of the hidden/ids buffers are append-only, and a
+    # speculative chunk dispatched after everything finished is a no-op
+    # (the jitted loop's cond fails immediately).  Off by default: the
+    # streaming consumer materializes each window synchronously and would
+    # see +1 chunk of first-emission latency.
+    speculate: bool = False
 
 
 class Generator:
@@ -382,25 +392,73 @@ class Generator:
         chunk = req.stream_batch if req.stream_batch > 0 else req.max_new
         done = 0
         status_np = ids_np = None
-        while done < req.max_new:
-            step_end = jnp.int32(min(done + chunk, req.max_new))
-            st, status, ids_gen = chunk_jit(
-                self.gpt_params, self.embed_params, st, sp,
-                step_end, eos_text, self._packed)
-            # ONE host sync per chunk: scheduling scalars + generated ids
-            status_np, ids_np = jax.device_get((status, ids_gen))
-            done = int(status_np[0])
-            finished = bool(status_np[1])
-            if req.stream_batch > 0 and not finished and done < req.max_new:
-                yield self._materialize(req, st, status_np, ids_np,
-                                        partial=True)
-            if finished:
-                break
-            if context.get():
-                break
+        if req.speculate and req.stream_batch > 0:
+            st, status_np, ids_np = yield from self._run_speculative(
+                req, context, st, sp, eos_text, chunk, chunk_jit)
+        else:
+            while done < req.max_new:
+                step_end = jnp.int32(min(done + chunk, req.max_new))
+                st, status, ids_gen = chunk_jit(
+                    self.gpt_params, self.embed_params, st, sp,
+                    step_end, eos_text, self._packed)
+                # ONE host sync per chunk: scheduling scalars + generated ids
+                status_np, ids_np = jax.device_get((status, ids_gen))
+                done = int(status_np[0])
+                finished = bool(status_np[1])
+                if req.stream_batch > 0 and not finished and done < req.max_new:
+                    yield self._materialize(req, st, status_np, ids_np,
+                                            partial=True)
+                if finished:
+                    break
+                if context.get():
+                    break
         if status_np is None:  # max_new == 0: nothing generated
             status_np = np.zeros(3 + 2 * B, np.int32)
             ids_np = np.zeros((B, 0, self.cfg.num_vq), np.int32)
+        return st, status_np, ids_np
+
+    def _run_speculative(self, req: GenerateRequest, context: Interrupt,
+                         st, sp, eos_text, chunk, chunk_jit):
+        """Chunk loop with one chunk of dispatch-ahead (req.speculate).
+
+        Keeps at most one unread chunk in flight: chunk k+1 is enqueued on
+        the device BEFORE the host blocks on chunk k's status, so the
+        blocking read's link round trip overlaps chunk k+1's compute.
+        ``st`` always refers to the NEWEST dispatched state; partial
+        materializes against it are valid because the generated prefix of
+        every buffer is append-only and in-order device execution
+        guarantees any reader enqueued later sees completed rows.  If
+        chunk k reports all-finished, the already-dispatched chunk k+1 ran
+        as a no-op (its while_loop cond fails), leaving ids/end_idx/
+        hiddens unchanged - st stays the correct final state and the
+        speculative status need not be read."""
+        pending = deque()  # (status_dev, ids_dev) of dispatched chunks
+        next_hi = 0
+
+        def dispatch():
+            nonlocal st, next_hi
+            hi = min(next_hi + chunk, req.max_new)
+            st2, s_d, i_d = chunk_jit(
+                self.gpt_params, self.embed_params, st, sp,
+                jnp.int32(hi), eos_text, self._packed)
+            st = st2
+            pending.append((s_d, i_d))
+            next_hi = hi
+
+        status_np = ids_np = None
+        dispatch()
+        while pending:
+            if (next_hi < req.max_new and len(pending) < 2
+                    and not context.get()):
+                dispatch()  # speculative: enqueued before the blocking read
+            s_d, i_d = pending.popleft()
+            status_np, ids_np = jax.device_get((s_d, i_d))
+            done = int(status_np[0])
+            if bool(status_np[1]) or context.get():
+                break  # in-flight successors are no-ops; st stays correct
+            if done < req.max_new:
+                yield self._materialize(req, st, status_np, ids_np,
+                                        partial=True)
         return st, status_np, ids_np
 
     def _materialize(self, req: GenerateRequest, st: GenState,

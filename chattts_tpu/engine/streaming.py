@@ -164,8 +164,14 @@ class StreamingDecoder:
                 b = min(b, (2 * (pad_left + hi - lo) - 1)
                         * (SAMPLES_PER_HIDDEN // 2))
             b = min(b, wav.shape[1])
-            out.append(wav[:, a:b])
+            out.append(self._slice(wav, a, b))
             self.emitted = emit_hi
+        return self._cat(out)
+
+    def _slice(self, wav, a: int, b: int):
+        return wav[:, a:b]
+
+    def _cat(self, out: list):
         if not out:
             return np.zeros((self._batch(), 0), np.float32)
         return np.concatenate(out, axis=1)
@@ -192,6 +198,7 @@ class DeviceStreamingDecoder(StreamingDecoder):
         self._decode_window_dev = decode_window_dev
         self._wire_int16 = wire_int16
         self._feats_dev = None
+        self._end_dev = None
         self._n = 0
         self._feats = np.zeros((batch, 0, 1), np.float32)  # unused storage
 
@@ -202,9 +209,19 @@ class DeviceStreamingDecoder(StreamingDecoder):
     def _batch(self) -> int:
         return self._bsz
 
-    def update_dev(self, feats_dev, n: int, final: bool = False) -> np.ndarray:
-        """feats_dev: (B, N, C) device array (cumulative, N >= n)."""
+    def update_dev(self, feats_dev, n: int, final: bool = False,
+                   end_dev=None) -> np.ndarray:
+        """feats_dev: (B, N, C) device array (cumulative, N >= n).
+
+        ``end_dev``: optional (B,) device per-row generated lengths; hidden
+        positions at/after a row's end are zero-masked inside the window
+        decode (finished rows keep accumulating garbage hiddens in the
+        generation buffer - without the mask they'd bleed into the last
+        receptive-field positions of shorter rows, where the one-shot
+        decode uses zeros)."""
         self._feats_dev = feats_dev
+        if end_dev is not None:
+            self._end_dev = end_dev
         self._bsz = feats_dev.shape[0]
         self._n = max(self._n, int(n))
         return self._walk(self._n, final)
@@ -213,8 +230,35 @@ class DeviceStreamingDecoder(StreamingDecoder):
         raise TypeError("device decoder consumes update_dev()")
 
     def _decode_window(self, lo: int, hi: int, pad_left: int) -> np.ndarray:
-        wav = self._decode_window_dev(self._feats_dev, lo, hi, pad_left)
+        wav = self._decode_window_dev(self._feats_dev, lo, hi, pad_left,
+                                      self._end_dev)
         out = np.asarray(wav)
         if self._wire_int16:
             return out.astype(np.float32) / 32767.0
+        return out
+
+
+class AsyncDeviceWindows(DeviceStreamingDecoder):
+    """Window collector for the PIPELINED non-streaming path.
+
+    Same emission plan as the parent, but nothing is materialized inline:
+    ``update_dev`` returns a LIST of device sample-window slices whose
+    host copies were started with ``copy_to_host_async`` - they transfer
+    over the host link while the next decode chunk computes on device, and
+    the caller materializes (mostly-arrived) buffers once at the end.
+    int16 wire scaling is the caller's job at assembly."""
+
+    def _decode_window(self, lo: int, hi: int, pad_left: int):
+        return self._decode_window_dev(self._feats_dev, lo, hi, pad_left,
+                                       self._end_dev)
+
+    def _slice(self, wav, a: int, b: int):
+        part = wav[:, a:b]
+        try:
+            part.copy_to_host_async()
+        except Exception:  # non-jax array or backend without async D2H
+            pass
+        return part
+
+    def _cat(self, out: list):
         return out

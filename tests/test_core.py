@@ -209,3 +209,46 @@ def test_speaker_apply_function(tiny_config):
     assert np.allclose(out[0, 0], 0) and np.allclose(out[0, 2], 0)
     n = vec / np.linalg.norm(vec)
     np.testing.assert_allclose(out[0, 1], n, atol=1e-6)
+
+
+def test_pipelined_wavs_match_one_shot(chat, monkeypatch):
+    """The pipelined non-streaming path (chunked decode + exact-guard
+    windowed vocode + async fetches) must reproduce the one-shot decode up
+    to float reassociation: same guard math as streaming, per-row end
+    masking matching _device_decode.  Steps are sized past one vocoder
+    window so the final flush runs the exact FULL-window path, and to a
+    decode-bucket multiple so the one-shot reference has no pad tail."""
+    from chattts_tpu.engine.streaming import plan_windows
+
+    chunk = 8
+    _, _, window = plan_windows(chat.config.decoder.stack,
+                                chat.config.vocos, chunk)
+    bucket = chat.config.runtime.decode_bucket // 4
+    steps = -(-(window + 8) // bucket) * bucket
+    params = _code_params(max_new_token=steps, min_new_token=steps,
+                          manual_seed=11)
+
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "0")
+    ref = chat._generate_wavs(["hello world", "a second one"], True, params)
+
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
+    monkeypatch.setattr(chat.config.runtime.__class__, "pipeline_chunk",
+                        chunk, raising=False)
+    got = chat._generate_wavs(["hello world", "a second one"], True, params)
+
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-4)
+
+
+def test_pipelined_short_utterance_falls_back(chat, monkeypatch):
+    """Sequences shorter than one vocoder window take the one-shot decode
+    inside the pipelined path (windowed flush would pad inside the tensor,
+    which is not inert through the conv stacks) - outputs must be
+    IDENTICAL to the non-pipelined path."""
+    params = _code_params(max_new_token=16, min_new_token=16, manual_seed=3)
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "0")
+    ref = chat._generate_wavs(["short one"], True, params)
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
+    got = chat._generate_wavs(["short one"], True, params)
+    np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -97,7 +97,7 @@ def test_device_decoder_matches_host_decoder(pipeline, tiny_config, rng):
 
     window = 96
 
-    def dev_window(feats_dev, lo, hi, pad_left):
+    def dev_window(feats_dev, lo, hi, pad_left, end=None):
         f = jnp.pad(feats_dev, ((0, 0), (0, window), (0, 0)))
         sl = jax.lax.dynamic_slice(f, (0, lo, 0), (B, window, C))
         t = jnp.arange(window)
