@@ -77,6 +77,11 @@ class EngineConfig:
     # admits/aborts/preempts only at chunk boundaries, so the quantum IS
     # the scheduling latency there.
     chunk_steps_max: int = 128
+    # dispatch chunk k+1 before blocking on chunk k's status whenever the
+    # scheduler is idle (see Engine.step); hides the per-chunk host-link
+    # round trip behind device compute.  Costs at most one extra chunk of
+    # admission latency for requests arriving mid-chunk.
+    speculate: bool = True
     infer_text: bool = False       # text mode (refine pass) vs code mode
     text_eos_token: int = 0        # [Ebreak] id (text mode; default per engine)
     collect_hidden: bool = True    # accumulate per-step hiddens (decoder path)
@@ -534,6 +539,7 @@ class Engine:
         self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs
         self._slot_chunks = [0] * ecfg.max_num_seqs
         self._status = None  # packed per-slot scalars from the last chunk
+        self._spec = None    # status of a speculative (dispatch-ahead) chunk
         self._host_rng = np.random.default_rng(seed ^ 0x5EED)
         # stats (reference logs every 5 s, llm_engine.py:667-740)
         self.stats = {"tokens_generated": 0, "requests_finished": 0,
@@ -581,6 +587,7 @@ class Engine:
             if r is not None:
                 self.slots[s] = None
                 dropped.append(r)
+        self._spec = None  # any in-flight chunk's status is now irrelevant
         self.state = self.state._replace(
             active=jnp.zeros_like(self.state.active))
         for r in dropped:
@@ -588,28 +595,54 @@ class Engine:
                 r.on_tokens(r.request_id, None, None, True)
         return dropped
 
-    def step(self, long_chunk: bool = False) -> List[EngineOutput]:
-        self._maybe_preempt()
-        self._admit()
-        occ = sum(r is not None for r in self.slots)
-        self.stats["peak_slots"] = max(self.stats.get("peak_slots", 0), occ)
-        if not occ:
-            return []
+    def _scheduler_idle(self) -> bool:
+        """True when the host has no per-chunk scheduling work: nothing
+        waiting (admission and preemption are no-ops) and no active request
+        streams (harvest fetches only at finishes)."""
+        return (not self.waiting
+                and all(r is None or r.on_tokens is None
+                        for r in self.slots))
+
+    def _dispatch_chunk(self, long_chunk: bool) -> jax.Array:
         chunk = self.ecfg.chunk_steps
         if (long_chunk and chunk < self.ecfg.chunk_steps_max
-                and not self.waiting
-                and all(r is None or r.on_tokens is None
-                        for r in self.slots)):
+                and self._scheduler_idle()):
             # no scheduling decisions pending: amortize the host sync
             chunk = self.ecfg.chunk_steps_max
         self.state, status = self._chunk(
             self.gpt_params, self.embed_params, self._packed, self.state,
             jnp.int32(chunk))
-        self._status = np.asarray(status)  # ONE host read per chunk
-        self.stats["steps"] += int(self._status[6, 0])
         for s, r in enumerate(self.slots):
             if r is not None:
                 self._slot_chunks[s] += 1
+        return status
+
+    def step(self, long_chunk: bool = False) -> List[EngineOutput]:
+        if self._spec is None:
+            self._maybe_preempt()
+            self._admit()
+            occ = sum(r is not None for r in self.slots)
+            self.stats["peak_slots"] = max(
+                self.stats.get("peak_slots", 0), occ)
+            if not occ:
+                return []
+            status = self._dispatch_chunk(long_chunk)
+        else:
+            status = self._spec
+            self._spec = None
+        # dispatch-ahead: enqueue chunk k+1 BEFORE blocking on chunk k's
+        # status so the read's host-link round trip (~25 ms here) hides
+        # behind device compute.  Safe exactly when the scheduler is idle:
+        # no admission/preemption writes are pending, and a speculative
+        # chunk dispatched after every slot finished is a no-op (the
+        # jitted loop's cond fails), so ids/end_idx/hiddens in the
+        # successor state stay correct for harvest.  A request arriving
+        # mid-chunk waits at most one extra chunk for admission.
+        if (self.ecfg.speculate and self._scheduler_idle()
+                and any(r is not None for r in self.slots)):
+            self._spec = self._dispatch_chunk(long_chunk)
+        self._status = np.asarray(status)  # ONE host read per chunk
+        self.stats["steps"] += int(self._status[6, 0])
         return self._harvest()
 
     def generate(self, requests: List[EngineRequest],
