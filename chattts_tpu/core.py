@@ -248,6 +248,7 @@ class Chat:
 
         self._device_decode_jit = jax.jit(_device_decode)
         self._device_window_jits = {}
+        self._incr_jits = {}
 
     def unload(self):
         logger = self.logger
@@ -563,6 +564,84 @@ class Chat:
         result.destroy()
         return wavs
 
+    def _incremental_fns(self, B: int, Fh: int):
+        """Jitted conv-state incremental hidden->PCM stream steps.
+
+        Returns (init_state, first_fn, step_fn) or None when the chunk is
+        too small for the delayed-ISTFT consume (mel offset > 2*Fh).
+        ``first_fn`` primes the stream (no PCM yet); ``step_fn`` feeds Fh
+        hidden positions and emits exactly Fh*1024 RAW samples (the caller
+        drops the first n_fft//2 once).  O(new frames) per call - no
+        ctx/guard re-decode - and exact vs the full decode (see
+        models/convnext.py streaming notes; pinned by
+        tests/test_streaming.py::test_incremental_chain*)."""
+        key = (B, Fh)
+        cached = self._incr_jits.get(key)
+        if cached is not None:
+            return cached
+        cfg = self.config
+        F = 2 * Fh
+        Dc = (dvae_mod.decoder_stream_offset(cfg.decoder)
+              + vocos_mod.stream_offset(cfg.vocos))
+        if Dc > F:
+            return None
+        wire = cfg.runtime.wire_int16
+        n_fft, hop = cfg.vocos.n_fft, cfg.vocos.hop_length
+        from .ops import stft as stft_ops
+
+        def init_state():
+            # the spec carry lives as (real, imag) pairs: eager complex64
+            # array creation is unimplemented on this TPU backend, and
+            # splitting keeps all state pytree leaves real
+            nf = n_fft // 2 + 1
+            return {
+                "dec": dvae_mod.decoder_stream_init(B, cfg.decoder),
+                "voc": vocos_mod.stream_init(B, cfg.vocos),
+                "spec_re": jnp.zeros((B, F, nf), jnp.float32),
+                "spec_im": jnp.zeros((B, F, nf), jnp.float32),
+                "carry": stft_ops.istft_stream_init(B, n_fft, hop),
+            }
+
+        def core(dp, vp, state, hid, c, end):
+            pos = c * Fh + jnp.arange(Fh)
+            hid = jnp.where((pos[None, :] < end[:, None])[:, :, None],
+                            hid, 0.0)  # finished rows: zeros, like one-shot
+            t0 = c * F
+            mel, dstate, cum = dvae_mod.decode_from_hidden_stream(
+                dp, hid, state["dec"], cfg.decoder, t0=t0)
+            spec, vstate = vocos_mod.features_stream(
+                vp, mel, state["voc"], cfg.vocos, t0=t0, cum_off=cum)
+            return spec, dstate, vstate
+
+        def first(dp, vp, state, hid, end):
+            spec, dstate, vstate = core(dp, vp, state, hid, jnp.int32(0),
+                                        end)
+            return {**state, "dec": dstate, "voc": vstate,
+                    "spec_re": jnp.real(spec), "spec_im": jnp.imag(spec)}
+
+        def step(dp, vp, state, hid, c, end):
+            spec, dstate, vstate = core(dp, vp, state, hid, c, end)
+            # the ISTFT lags one chunk: it consumes full-decode frames
+            # [(c-1)*F, c*F), which sit at stream offset Dc in the last
+            # two spec chunks
+            re = jnp.concatenate([state["spec_re"], jnp.real(spec)],
+                                 axis=1)[:, Dc:Dc + F]
+            im = jnp.concatenate([state["spec_im"], jnp.imag(spec)],
+                                 axis=1)[:, Dc:Dc + F]
+            raw, carry = stft_ops.istft_stream(
+                jax.lax.complex(re, im), state["carry"], n_fft, hop)
+            if wire:
+                raw = jnp.clip(raw * 32767.0, -32767, 32767).astype(
+                    jnp.int16)
+            return raw, {"dec": dstate, "voc": vstate,
+                         "spec_re": jnp.real(spec),
+                         "spec_im": jnp.imag(spec), "carry": carry}
+
+        fns = (init_state, jax.jit(first, donate_argnums=(2,)),
+               jax.jit(step, donate_argnums=(2,)))
+        self._incr_jits[key] = fns
+        return fns
+
     def _pipelined_wavs(self, batch: List[str],
                         params: "Chat.InferCodeParams"
                         ) -> Optional[np.ndarray]:
@@ -582,56 +661,113 @@ class Chat:
         from .engine.streaming import AsyncDeviceWindows, plan_windows
 
         rt = self.config.runtime
+        B = len(batch)
         chunk = max(16, rt.pipeline_chunk)
         ctx, guard, window = plan_windows(self.config.decoder.stack,
                                           self.config.vocos, chunk)
+        hop = self.config.vocos.hop_length
+        spc = 2 * hop
+        incr = self._incremental_fns(B, chunk)
+        if incr is not None:
+            # conv-state incremental vocoder: O(new) per chunk, no
+            # ctx/guard re-decode.  The flush window must cover the
+            # un-emitted tail (up to 2 chunks: one ISTFT consume lag +
+            # one possibly-ragged final chunk) plus the guard for its
+            # inexact left edge.
+            init_state, first_fn, step_fn = incr
+            flush_w = -(-(2 * chunk + guard + 8) // 16) * 16
+            state = init_state()
+        else:
+            flush_w = window  # windowed fallback (chunk < conv offset)
         sd = None
         last = None
         ends = None
         parts: List = []
         final_res = None
+        fed = 0
+        emitted = 0  # samples emitted by the incremental stream
         for result in self._infer_code(batch, True, True, params,
                                        stream_batch_override=chunk,
                                        speculate=True):
             if result.hiddens_dev is None:
                 return None  # no device hiddens: caller falls back
-            if sd is None:
-                sd = AsyncDeviceWindows(
-                    self._device_window_fn(window), len(batch),
-                    self.config.gpt.hidden_size,
-                    wire_int16=rt.wire_int16,
-                    ctx=ctx, guard=guard, window=window)
             n = result.hiddens_dev.shape[1]
-            parts += sd.update_dev(result.hiddens_dev, n,
-                                   end_dev=result.end_dev,
-                                   final=bool(result.finished.all()))
+            if incr is not None:
+                while (fed + 1) * chunk <= n:
+                    hidc = result.hiddens_dev[:, fed * chunk:
+                                              (fed + 1) * chunk]
+                    if fed == 0:
+                        state = first_fn(self.decoder_params,
+                                         self.vocos_params, state, hidc,
+                                         result.end_dev)
+                    else:
+                        pcm, state = step_fn(
+                            self.decoder_params, self.vocos_params, state,
+                            hidc, jnp.int32(fed), result.end_dev)
+                        if fed == 1:  # drop the ISTFT center padding once
+                            pcm = pcm[:, self.config.vocos.n_fft // 2:]
+                        try:
+                            pcm.copy_to_host_async()
+                        except Exception:
+                            pass
+                        parts.append(pcm)
+                        emitted += pcm.shape[1]
+                    fed += 1
+            else:
+                if sd is None:
+                    sd = AsyncDeviceWindows(
+                        self._device_window_fn(window), B,
+                        self.config.gpt.hidden_size,
+                        wire_int16=rt.wire_int16,
+                        ctx=ctx, guard=guard, window=window)
+                parts += sd.update_dev(result.hiddens_dev, n,
+                                       end_dev=result.end_dev,
+                                       final=bool(result.finished.all()))
             last = (result.hiddens_dev, n, result.end_dev)
             ends = [ids.shape[0] for ids in result.ids]
             if final_res is not None:
                 final_res.destroy()
             final_res = result
-        B = len(batch)
-        if last is not None and last[1] < window:
-            # shorter than one window: the final flush would have to pad
-            # INSIDE the tensor, whose zeros are live through the conv/norm
-            # stacks - only a FULL final window has exact edge semantics.
-            # Use the one-shot bucketed decode instead (same as before).
+        if last is None or ends is None:
+            if final_res is not None:
+                final_res.destroy()
+            return np.zeros((B, 0), np.float32)
+        n = last[1]
+        emitted_h = emitted // spc  # hidden positions fully emitted
+        if n < flush_w or (incr is not None
+                           and emitted_h - (n - flush_w) < guard):
+            # shorter than one flush window (or the stream fell too far
+            # behind): the flush would have to pad INSIDE the tensor,
+            # whose zeros are live through the conv/norm stacks - only a
+            # FULL final window has exact edge semantics.  Use the
+            # one-shot bucketed decode instead.
             wavs = self._decode_to_wavs(final_res, True)
             final_res.destroy()
             return wavs
-        if sd is not None and last is not None and sd.emitted < sd.available:
+        if incr is not None:
+            # right-aligned FULL flush window [n - flush_w, n): its samples
+            # are exact from guard positions in; emission starts well past
+            # that (checked above)
+            lo = n - flush_w
+            wav_w = self._device_window_fn(flush_w)(
+                last[0], lo, n, 0, last[2])
+            tail = wav_w[:, emitted - lo * spc:]
+            try:
+                tail.copy_to_host_async()
+            except Exception:
+                pass
+            parts.append(tail)
+        elif sd is not None and sd.emitted < sd.available:
             parts += sd.update_dev(last[0], last[1], end_dev=last[2],
                                    final=True)
-        if final_res is not None:
-            final_res.destroy()
-        if not parts or ends is None:
+        final_res.destroy()
+        if not parts:
             return np.zeros((B, 0), np.float32)
         wav = np.concatenate([np.asarray(p) for p in parts], axis=1)
         if rt.wire_int16:
             wav = wav.astype(np.float32) / 32767.0
-        # trim per-row generation tails (windows are emitted to the batch
-        # max; shorter rows decode zeros there, but keep the cut exact)
-        spc = 2 * self.config.vocos.hop_length
+        # trim per-row generation tails (emission runs to the batch max;
+        # shorter rows decode zeros there, but keep the cut exact)
         for b, nb in enumerate(ends):
             wav[b, nb * spc:] = 0.0
         return wav

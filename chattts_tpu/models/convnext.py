@@ -141,6 +141,118 @@ def apply_stack(p: dict, x: jnp.ndarray, cfg: ConvStackConfig) -> jnp.ndarray:
     return conv1d(y, p["conv_out"]["w"], None)
 
 
+# ---------------------------------------------------------------------------
+# Streaming (stateful) apply: O(new frames) per call, exact steady state
+#
+# Every SAME-padded conv keeps a cache of its last (k-1)*dilation INPUT
+# frames.  Feeding F new frames then convolving [cache | x] with VALID
+# padding emits exactly F output frames at a constant stream offset of
+# pad = dilation*(k//2) frames per conv (stream index j of a layer's
+# output corresponds to full-decode index j - cumulative_pad).  Exactness
+# at the stream head needs one extra rule: a layer's input frames whose
+# FULL-decode index is negative must be zeroed before the conv - the full
+# decode pads each layer's input with its OWN zeros there, whereas the
+# upstream stream supplies its (nonzero) left-edge outputs.  ``t0`` (the
+# stream index of the chunk's first frame) makes that mask computable;
+# it is a data-dependent no-op once the stream has advanced past the
+# receptive cone.  Stream ENDS are flushed by the caller with a
+# right-aligned full-window decode (in-tensor zero padding is NOT inert,
+# see engine/streaming.py) - there is no exact static-shape flush.
+# ---------------------------------------------------------------------------
+
+
+def conv_stream_init(batch: int, k: int, dilation: int, cin: int,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.zeros((batch, (k - 1) * dilation, cin), dtype)
+
+
+def _mask_head(ext: jnp.ndarray, t0, m: int, cum_off: int) -> jnp.ndarray:
+    """Zero ext frames whose full-decode index (stream - cum_off) is < 0.
+
+    ext frame e sits at stream index t0 + e - m (m = cache length)."""
+    e = jnp.arange(ext.shape[1])
+    full_idx = t0 + e - m - cum_off
+    return jnp.where((full_idx >= 0)[None, :, None], ext, 0.0)
+
+
+def conv1d_stream(x: jnp.ndarray, cache: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray | None = None, *, dilation: int = 1,
+                  groups: int = 1, t0=None, cum_off: int = 0
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Valid conv over [cache | x]; returns (F new frames, new cache)."""
+    F = x.shape[1]
+    ext = jnp.concatenate([cache, x], axis=1)
+    if t0 is not None:
+        ext = _mask_head(ext, t0, cache.shape[1], cum_off)
+    y = conv1d(ext, w, b, dilation=dilation, groups=groups)
+    return y, ext[:, F:]
+
+
+def apply_block_stream(p: dict, x: jnp.ndarray, cache: jnp.ndarray, *,
+                       kernel: int, dilation: int = 1, t0=None,
+                       cum_off: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming ConvNeXt block: residual taps the input stream at the
+    conv's offset so both terms align on the same full-decode index."""
+    dim = x.shape[-1]
+    F = x.shape[1]
+    pad = dilation * (kernel // 2)
+    ext = jnp.concatenate([cache, x], axis=1)  # (B, F + 2*pad, C)
+    if t0 is not None:
+        ext = _mask_head(ext, t0, cache.shape[1], cum_off)
+    y = conv1d(ext, p["dwconv"]["w"], p["dwconv"]["b"], dilation=dilation,
+               groups=dim)  # valid: (B, F, C)
+    y = layer_norm(y, p["norm"]["scale"], p["norm"]["bias"])
+    y = gelu(y @ p["pw1"]["w"] + p["pw1"]["b"])
+    y = y @ p["pw2"]["w"] + p["pw2"]["b"]
+    if p.get("gamma") is not None:
+        y = y * p["gamma"]
+    return ext[:, pad : pad + F] + y, ext[:, F:]
+
+
+def stack_stream_offset(cfg: ConvStackConfig) -> int:
+    """Cumulative stream offset (frames) of apply_stack_stream's output."""
+    return 1 + 1 + cfg.n_layer * cfg.dilation * (cfg.kernel // 2)
+
+
+def stack_stream_init(batch: int, cfg: ConvStackConfig, dtype=jnp.float32
+                      ) -> dict:
+    return {
+        "in0": conv_stream_init(batch, 3, 1, cfg.idim, dtype),
+        "in1": conv_stream_init(batch, 3, 1, cfg.bn_dim, dtype),
+        "blocks": [
+            conv_stream_init(batch, cfg.kernel, cfg.dilation, cfg.hidden,
+                             dtype)
+            for _ in range(cfg.n_layer)
+        ],
+    }
+
+
+def apply_stack_stream(p: dict, x: jnp.ndarray, state: dict,
+                       cfg: ConvStackConfig, t0=None, cum_off: int = 0
+                       ) -> tuple[jnp.ndarray, dict, int]:
+    """(B, F, idim) new frames -> (B, F, odim) stream frames + new state.
+
+    Returns the downstream cumulative offset as the third element so
+    chained stacks (decoder -> vocos) keep masking correctly."""
+    bpad = cfg.dilation * (cfg.kernel // 2)
+    y, c_in0 = conv1d_stream(x, state["in0"], p["conv_in0"]["w"],
+                             p["conv_in0"]["b"], t0=t0, cum_off=cum_off)
+    y = gelu(y)
+    cum_off += 1
+    y, c_in1 = conv1d_stream(y, state["in1"], p["conv_in1"]["w"],
+                             p["conv_in1"]["b"], t0=t0, cum_off=cum_off)
+    cum_off += 1
+    new_blocks = []
+    for bp, bc in zip(p["blocks"], state["blocks"]):
+        y, nc = apply_block_stream(bp, y, bc, kernel=cfg.kernel,
+                                   dilation=cfg.dilation, t0=t0,
+                                   cum_off=cum_off)
+        new_blocks.append(nc)
+        cum_off += bpad
+    y = conv1d(y, p["conv_out"]["w"], None)  # k=1: stateless
+    return y, {"in0": c_in0, "in1": c_in1, "blocks": new_blocks}, cum_off
+
+
 def stack_torch_key_map(path: str, prefix: str, cfg: ConvStackConfig) -> dict:
     """Param-tree path -> (reference state-dict key, transform) for a stack.
 

@@ -134,6 +134,37 @@ def encode_audio(params: dict, audio: jnp.ndarray, cfg: DVAEConfig,
     return gfsq.quantize(params["vq"], x, cfg.vq)
 
 
+def decoder_stream_offset(cfg: DecoderConfig) -> int:
+    """Mel-stream offset of decode_from_hidden_stream (stack + out_conv)."""
+    return convnext.stack_stream_offset(cfg.stack) + 1
+
+
+def decoder_stream_init(batch: int, cfg: DecoderConfig) -> dict:
+    return {
+        "stack": convnext.stack_stream_init(batch, cfg.stack),
+        "out": convnext.conv_stream_init(batch, 3, 1, cfg.stack.odim),
+    }
+
+
+def decode_from_hidden_stream(params: dict, hidden: jnp.ndarray, state: dict,
+                              cfg: DecoderConfig, t0=None
+                              ) -> tuple[jnp.ndarray, dict, int]:
+    """Streaming hidden->mel: (B, Fh, 768) new positions -> (B, 2*Fh,
+    n_mels) mel stream frames + state + downstream cum offset.
+
+    ``t0`` is the MEL-frame stream index of this chunk's first frame
+    (2x the hidden position); the interleave is frame-local so it adds no
+    state or offset."""
+    y = interleave_groups(hidden)  # (B, 2*Fh, idim)
+    y, stack_state, cum = convnext.apply_stack_stream(
+        params["decoder"], y, state["stack"], cfg.stack, t0=t0)
+    mel, out_c = convnext.conv1d_stream(
+        y, state["out"], params["out_conv"]["w"], None, t0=t0, cum_off=cum)
+    cum += 1
+    mel = mel * params["coef"][None, None, :]
+    return mel, {"stack": stack_state, "out": out_c}, cum
+
+
 def coef_string(params: dict) -> str:
     """Portable b14 representation of the mel coefficients (dvae.py:245-248)."""
     return codecs.encode_coef(np.asarray(params["coef"], dtype=np.float32))

@@ -66,6 +66,52 @@ def decode(params: dict, mel: jnp.ndarray, cfg: VocosConfig) -> jnp.ndarray:
     return istft(spec, cfg.n_fft, cfg.hop_length)
 
 
+def stream_offset(cfg: VocosConfig) -> int:
+    """Backbone stream offset in mel frames (embed k7 + ConvNeXt k7 blocks)."""
+    return 3 + cfg.num_layers * 3
+
+
+def stream_init(batch: int, cfg: VocosConfig) -> dict:
+    return {
+        "embed": convnext.conv_stream_init(batch, 7, 1, cfg.input_channels),
+        "blocks": [
+            convnext.conv_stream_init(batch, 7, 1, cfg.dim)
+            for _ in range(cfg.num_layers)
+        ],
+    }
+
+
+def features_stream(params: dict, mel: jnp.ndarray, state: dict,
+                    cfg: VocosConfig, t0=None, cum_off: int = 0
+                    ) -> tuple[jnp.ndarray, dict]:
+    """Streaming backbone+head: mel (B, F, n_mels) -> complex spec
+    (B, F, n_fft//2+1) stream frames (offset ``stream_offset`` + cum_off).
+
+    The ISTFT is NOT applied here - feed the spec stream to
+    ops.stft.istft_stream (delayed past the conv offset so it sees the
+    full decode's frame sequence exactly)."""
+    x, c_embed = convnext.conv1d_stream(
+        mel, state["embed"], params["embed"]["w"], params["embed"]["b"],
+        t0=t0, cum_off=cum_off)
+    cum_off += 3
+    x = convnext.layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+    new_blocks = []
+    for bp, bc in zip(params["blocks"], state["blocks"]):
+        x, nc = convnext.apply_block_stream(bp, x, bc, kernel=7, dilation=1,
+                                            t0=t0, cum_off=cum_off)
+        new_blocks.append(nc)
+        cum_off += 3
+    x = convnext.layer_norm(
+        x, params["final_norm"]["scale"], params["final_norm"]["bias"]
+    )
+    h = x @ params["head"]["w"] + params["head"]["b"]
+    nf = cfg.n_fft // 2 + 1
+    mag = jnp.clip(jnp.exp(h[..., :nf]), max=1e2)
+    phase = h[..., nf:]
+    spec = mag * jnp.exp(1j * phase.astype(jnp.float32))
+    return spec, {"embed": c_embed, "blocks": new_blocks}
+
+
 def torch_key_map(cfg: VocosConfig) -> dict:
     """Our pytree paths -> vocos-package state-dict keys."""
     m = {

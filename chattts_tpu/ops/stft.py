@@ -86,6 +86,48 @@ def log_mel_spectrogram(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     return jnp.log(jnp.clip(mel, min=1e-5))
 
 
+def istft_stream_init(batch: int, n_fft: int, hop: int
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(numerator carry (B, n_fft - hop), window-sum carry (n_fft - hop))."""
+    return (jnp.zeros((batch, n_fft - hop), jnp.float32),
+            jnp.zeros((n_fft - hop,), jnp.float32))
+
+
+def istft_stream(spec: jnp.ndarray, carry, n_fft: int, hop: int):
+    """Streaming overlap-add ISTFT: feed F frames, emit F*hop RAW samples.
+
+    spec: complex (B, F, n_fft//2+1) — frames in time-major layout.  The
+    carry holds the partial overlap sums (numerator and squared-window
+    denominator) for the last n_fft - hop raw positions; a zero carry
+    reproduces the full istft's left edge exactly.  The emitted samples
+    are the full istft's RAW timeline (before center trimming): callers
+    drop the first n_fft//2 samples once.  The stream never finalizes -
+    the utterance tail comes from the caller's full-window flush.
+    Returns (samples (B, F*hop) f32, new carry).
+    """
+    if n_fft % hop != 0:
+        raise ValueError("istft requires hop | n_fft")
+    ratio = n_fft // hop
+    B, F, _ = spec.shape
+    win = jnp.asarray(hann_window(n_fft))
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win  # (B, F, n_fft)
+    wsq = (win * win).reshape(ratio, hop)
+    pieces = frames.reshape(B, F, ratio, hop)
+    out = jnp.zeros((B, F + ratio - 1, hop), dtype=frames.dtype)
+    den = jnp.zeros((F + ratio - 1, hop), dtype=frames.dtype)
+    for j in range(ratio):
+        out = out.at[:, j : j + F].add(pieces[:, :, j])
+        den = den.at[j : j + F].add(jnp.broadcast_to(wsq[j], (F, hop)))
+    num_c, den_c = carry
+    out = out.at[:, : ratio - 1].add(num_c.reshape(B, ratio - 1, hop))
+    den = den.at[: ratio - 1].add(den_c.reshape(ratio - 1, hop))
+    emit = (out[:, :F].reshape(B, F * hop)
+            / jnp.maximum(den[:F].reshape(F * hop), 1e-11)[None, :])
+    new_carry = (out[:, F:].reshape(B, n_fft - hop),
+                 den[F:].reshape(n_fft - hop))
+    return emit.astype(jnp.float32), new_carry
+
+
 def istft(spec: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     """Inverse STFT with center trimming (torch.istft semantics).
 

@@ -252,3 +252,36 @@ def test_pipelined_short_utterance_falls_back(chat, monkeypatch):
     monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
     got = chat._generate_wavs(["short one"], True, params)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_pipelined_incremental_matches_one_shot(chat, monkeypatch):
+    """With pipeline_chunk large enough for the conv offset, the pipelined
+    path runs the conv-state INCREMENTAL vocoder (no ctx/guard re-decode);
+    output must still match the one-shot decode."""
+    from chattts_tpu.engine.streaming import plan_windows
+    from chattts_tpu.models import dvae as dvae_mod
+    from chattts_tpu.models import vocos as vocos_mod
+
+    chunk = 16
+    Dc = (dvae_mod.decoder_stream_offset(chat.config.decoder)
+          + vocos_mod.stream_offset(chat.config.vocos))
+    assert 2 * chunk >= Dc  # incremental engine engages at this chunk
+    _, guard, _ = plan_windows(chat.config.decoder.stack,
+                               chat.config.vocos, chunk)
+    flush_w = -(-(2 * chunk + guard + 8) // 16) * 16
+    bucket = chat.config.runtime.decode_bucket // 4
+    steps = -(-(flush_w + chunk) // bucket) * bucket
+    params = _code_params(max_new_token=steps, min_new_token=steps,
+                          manual_seed=13)
+
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "0")
+    ref = chat._generate_wavs(["incremental check", "row two"], True, params)
+
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
+    monkeypatch.setattr(chat.config.runtime.__class__, "pipeline_chunk",
+                        chunk, raising=False)
+    got = chat._generate_wavs(["incremental check", "row two"], True, params)
+
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-4)

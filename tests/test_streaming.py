@@ -168,3 +168,55 @@ def test_first_guard_error_decays(pipeline, tiny_config, rng):
     inc = np.concatenate([first, rest], axis=1)
     np.testing.assert_allclose(inc[:, exact_until + 8 * 512:],
                                full[:, exact_until + 8 * 512:], atol=2e-4)
+
+
+def test_incremental_chain_matches_full(tiny_config, rng):
+    """Conv-state incremental vocoder (models/convnext.py stream apply +
+    vocos.features_stream + istft_stream with one-chunk delayed consume)
+    reproduces the full hidden->waveform decode exactly in its emitted
+    region - no ctx/guard re-decode, O(new frames) per call."""
+    from chattts_tpu.models import dvae as dvae_mod
+    from chattts_tpu.models import vocos as vocos_mod
+    from chattts_tpu.ops import stft
+
+    cfg = tiny_config
+    dp = dvae_mod.init_decoder_params(jax.random.PRNGKey(0), cfg.decoder)
+    vp = vocos_mod.init_params(jax.random.PRNGKey(1), cfg.vocos)
+    # non-tiny layer-scale so head-mask bugs cannot hide behind gamma=1e-6
+    for b in dp["decoder"]["blocks"] + vp["blocks"]:
+        b["gamma"] = jnp.full_like(b["gamma"], 0.3)
+
+    B, n, Fh = 2, 96, 16
+    hid = rng.standard_normal((B, n, cfg.decoder.stack.idim * 2)).astype(
+        np.float32)
+    mel_full = dvae_mod.decode_from_hidden(dp, jnp.asarray(hid), cfg.decoder)
+    wav_full = np.asarray(vocos_mod.decode(vp, mel_full, cfg.vocos))
+
+    F = 2 * Fh
+    Dc = (dvae_mod.decoder_stream_offset(cfg.decoder)
+          + vocos_mod.stream_offset(cfg.vocos))
+    assert Dc <= F
+    hop = cfg.vocos.hop_length
+    dstate = dvae_mod.decoder_stream_init(B, cfg.decoder)
+    vstate = vocos_mod.stream_init(B, cfg.vocos)
+    carry = stft.istft_stream_init(B, cfg.vocos.n_fft, hop)
+    prev = None
+    emitted = []
+    for c in range(n // Fh):
+        t0 = jnp.int32(c * F)
+        mel, dstate, cum = dvae_mod.decode_from_hidden_stream(
+            dp, jnp.asarray(hid[:, c * Fh:(c + 1) * Fh]), dstate,
+            cfg.decoder, t0=t0)
+        spec, vstate = vocos_mod.features_stream(vp, mel, vstate, cfg.vocos,
+                                                 t0=t0, cum_off=cum)
+        if prev is not None:
+            take = jnp.concatenate([prev, spec], axis=1)[:, Dc:Dc + F]
+            raw, carry = stft.istft_stream(take, carry, cfg.vocos.n_fft, hop)
+            emitted.append(np.asarray(raw))
+        prev = spec
+    stream = np.concatenate(emitted, axis=1)[:, cfg.vocos.n_fft // 2:]
+    K = n // Fh
+    valid = ((K - 1) * F * hop - cfg.vocos.n_fft // 2
+             - (cfg.vocos.n_fft - hop))
+    np.testing.assert_allclose(stream[:, :valid], wav_full[:, :valid],
+                               atol=1e-5)
