@@ -430,7 +430,16 @@ class Chat:
         pending = np.zeros((len(batch), 0), np.float32)
         pass_batch_count = 0
         last = None  # (device feats, n) or np items for the tail flush
+        saw_final = False
         for result in self._infer_code(batch, True, use_decoder, params):
+            if saw_final:
+                # empty-generation retry restarted the attempt: reset the
+                # incremental decoder so attempts don't interleave (already
+                # yielded audio is gone; the retry path only triggers when
+                # some sequence produced nothing)
+                sd = None
+                pending = np.zeros((len(batch), 0), np.float32)
+            saw_final = not result.partial
             final = bool(result.finished.all())
             if use_decoder and result.hiddens_dev is not None:
                 if sd is None:
@@ -686,11 +695,29 @@ class Chat:
         final_res = None
         fed = 0
         emitted = 0  # samples emitted by the incremental stream
+        saw_final = False
+        broken = False  # device hiddens unavailable: one-shot at the end
         for result in self._infer_code(batch, True, True, params,
                                        stream_batch_override=chunk,
                                        speculate=True):
+            if saw_final:
+                # any yield after an attempt's final output means the
+                # empty-generation retry restarted generation: drop
+                # everything accumulated from the discarded attempt
+                parts.clear()
+                fed = emitted = 0
+                sd = None
+                if incr is not None:
+                    state = init_state()
+            saw_final = not result.partial
             if result.hiddens_dev is None:
-                return None  # no device hiddens: caller falls back
+                broken = True  # decode the final output one-shot instead
+            if broken:
+                ends = [ids.shape[0] for ids in result.ids]
+                if final_res is not None:
+                    final_res.destroy()
+                final_res = result
+                continue
             n = result.hiddens_dev.shape[1]
             if incr is not None:
                 while (fed + 1) * chunk <= n:
@@ -728,6 +755,12 @@ class Chat:
             if final_res is not None:
                 final_res.destroy()
             final_res = result
+        if broken and final_res is not None:
+            # hiddens never reached the device path: decode the final
+            # output one-shot (same attempt - no re-generation)
+            wavs = self._decode_to_wavs(final_res, True)
+            final_res.destroy()
+            return wavs
         if last is None or ends is None:
             if final_res is not None:
                 final_res.destroy()
@@ -991,7 +1024,8 @@ class Chat:
             yield GenerationOutputs(
                 ids=[np.concatenate(a) if a else Z for a in acc_ids],
                 hiddens=[np.concatenate(a) if a else Zh for a in acc_hid],
-                finished=np.asarray(done))
+                finished=np.asarray(done),
+                partial=not all(done))
 
     def _infer_code(self, text: List[str], stream: bool, return_hidden: bool,
                     params: "Chat.InferCodeParams",

@@ -618,6 +618,11 @@ class Engine:
         return status
 
     def step(self, long_chunk: bool = False) -> List[EngineOutput]:
+        if self._spec is not None and all(r is None for r in self.slots):
+            # the speculative chunk outlived its batch (all slots finished
+            # or were aborted): it ran as a no-op - discard its status so
+            # this step admits new work instead of processing a dead chunk
+            self._spec = None
         if self._spec is None:
             self._maybe_preempt()
             self._admit()

@@ -72,6 +72,10 @@ class GenerationOutputs:
     finished: np.ndarray        # (B,) bool
     hiddens_dev: Optional[jax.Array] = None  # (B, n_max, D) on device
     end_dev: Optional[jax.Array] = None      # (B,) int32 kept lengths
+    # True for streaming partials; False for an attempt's final output.
+    # A yield AFTER a final one means the empty-generation retry restarted
+    # the attempt - streaming consumers must reset their accumulation.
+    partial: bool = False
 
     def materialize_hiddens(self) -> List[np.ndarray]:
         """Per-seq host copies of the hiddens (device path included)."""
@@ -483,4 +487,4 @@ class Generator:
         return GenerationOutputs(
             ids=out_ids, hiddens=[],
             finished=status_np[3 + B:3 + 2 * B].astype(bool),
-            hiddens_dev=hiddens_dev, end_dev=end_dev)
+            hiddens_dev=hiddens_dev, end_dev=end_dev, partial=partial)

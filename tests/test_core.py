@@ -211,6 +211,24 @@ def test_speaker_apply_function(tiny_config):
     np.testing.assert_allclose(out[0, 1], n, atol=1e-6)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _forced_chunk(chat, value):
+    """Set the frozen RuntimeConfig's pipeline_chunk for the test body.
+
+    monkeypatch on the CLASS is shadowed by the frozen dataclass's
+    instance attribute, so force the instance directly and restore."""
+    rt = chat.config.runtime
+    old = rt.pipeline_chunk
+    object.__setattr__(rt, "pipeline_chunk", value)
+    try:
+        yield
+    finally:
+        object.__setattr__(rt, "pipeline_chunk", old)
+
+
 def test_pipelined_wavs_match_one_shot(chat, monkeypatch):
     """The pipelined non-streaming path (chunked decode + exact-guard
     windowed vocode + async fetches) must reproduce the one-shot decode up
@@ -232,9 +250,13 @@ def test_pipelined_wavs_match_one_shot(chat, monkeypatch):
     ref = chat._generate_wavs(["hello world", "a second one"], True, params)
 
     monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
-    monkeypatch.setattr(chat.config.runtime.__class__, "pipeline_chunk",
-                        chunk, raising=False)
-    got = chat._generate_wavs(["hello world", "a second one"], True, params)
+    with _forced_chunk(chat, chunk):
+        got = chat._generate_wavs(["hello world", "a second one"], True,
+                                  params)
+    # the WINDOWED pipeline really ran (chunk=8 is below the conv offset,
+    # so the incremental engine must have declined and built window jits)
+    assert chat._incremental_fns(2, chunk) is None
+    assert window in chat._device_window_jits
 
     assert got.shape == ref.shape
     scale = max(np.abs(ref).max(), 1e-6)
@@ -278,10 +300,64 @@ def test_pipelined_incremental_matches_one_shot(chat, monkeypatch):
     ref = chat._generate_wavs(["incremental check", "row two"], True, params)
 
     monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
-    monkeypatch.setattr(chat.config.runtime.__class__, "pipeline_chunk",
-                        chunk, raising=False)
-    got = chat._generate_wavs(["incremental check", "row two"], True, params)
+    with _forced_chunk(chat, chunk):
+        got = chat._generate_wavs(["incremental check", "row two"], True,
+                                  params)
+    assert (2, chunk) in chat._incr_jits  # the incremental engine ran
 
     assert got.shape == ref.shape
     scale = max(np.abs(ref).max(), 1e-6)
     np.testing.assert_allclose(got / scale, ref / scale, atol=3e-4)
+
+
+def test_pipelined_resets_on_empty_retry(chat, monkeypatch):
+    """When the generator's empty-generation retry restarts an attempt
+    (a yield arrives after a final output), the pipelined path must drop
+    audio accumulated from the discarded attempt instead of stitching two
+    generations together."""
+    import jax.numpy as jnp
+    from chattts_tpu.engine.generate import GenerationOutputs
+
+    from chattts_tpu.engine.streaming import plan_windows
+    chunk = 16
+    _, guard, _ = plan_windows(chat.config.decoder.stack,
+                               chat.config.vocos, chunk)
+    flush_w = -(-(2 * chunk + guard + 8) // 16) * 16
+    n = -(-(flush_w + chunk) // chunk) * chunk
+    D = chat.config.gpt.hidden_size
+    rng = np.random.default_rng(5)
+    hid_a = jnp.asarray(rng.standard_normal((1, n, D)).astype(np.float32))
+    hid_b = jnp.asarray(rng.standard_normal((1, n, D)).astype(np.float32))
+    end = jnp.full((1,), n, jnp.int32)
+
+    def outs(hid, partial, upto):
+        ids = [np.zeros((upto, chat.config.gpt.num_vq), np.int32)]
+        return GenerationOutputs(
+            ids=ids, hiddens=[], finished=np.asarray([not partial]),
+            hiddens_dev=hid[:, :upto], end_dev=end, partial=partial)
+
+    def fake_infer_code(batch, stream, return_hidden, params, **kw):
+        # attempt 1 (to be discarded): partials + final, then retry
+        for c in range(1, n // chunk):
+            yield outs(hid_a, True, c * chunk)
+        yield outs(hid_a, False, n)
+        # attempt 2 (kept)
+        for c in range(1, n // chunk):
+            yield outs(hid_b, True, c * chunk)
+        yield outs(hid_b, False, n)
+
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
+    monkeypatch.setattr(chat, "_infer_code", fake_infer_code)
+    with _forced_chunk(chat, chunk):
+        got = chat._generate_wavs(["x"], True,
+                                  _code_params(max_new_token=n,
+                                               min_new_token=n))
+
+    ref = np.asarray(chat._device_decode_jit(
+        chat.decoder_params, chat.vocos_params, hid_b, end))
+    if chat.config.runtime.wire_int16:
+        ref = ref.astype(np.float32) / 32767.0
+    m = min(got.shape[1], ref.shape[1])
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(got[:, :m] / scale, ref[:, :m] / scale,
+                               atol=3e-4)
