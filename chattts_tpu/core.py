@@ -404,6 +404,20 @@ class Chat:
                 yield self._generate_wavs(batch, use_decoder,
                                           params_infer_code)
 
+    @staticmethod
+    def _attempt_stream(gen):
+        """Wrap a generation stream as (restarted, result) pairs.
+
+        ``restarted`` is True when this yield follows an attempt's FINAL
+        output - the empty-generation retry restarted generation, and
+        streaming consumers must drop accumulation from the discarded
+        attempt (the retry only fires when some sequence produced
+        nothing)."""
+        saw_final = False
+        for result in gen:
+            yield saw_final, result
+            saw_final = not result.partial
+
     def _stream_batch(self, batch, use_decoder, params):
         """Streaming synthesis with incremental windowed vocoding.
 
@@ -430,16 +444,11 @@ class Chat:
         pending = np.zeros((len(batch), 0), np.float32)
         pass_batch_count = 0
         last = None  # (device feats, n) or np items for the tail flush
-        saw_final = False
-        for result in self._infer_code(batch, True, use_decoder, params):
-            if saw_final:
-                # empty-generation retry restarted the attempt: reset the
-                # incremental decoder so attempts don't interleave (already
-                # yielded audio is gone; the retry path only triggers when
-                # some sequence produced nothing)
+        for restarted, result in self._attempt_stream(
+                self._infer_code(batch, True, use_decoder, params)):
+            if restarted:
                 sd = None
                 pending = np.zeros((len(batch), 0), np.float32)
-            saw_final = not result.partial
             final = bool(result.finished.all())
             if use_decoder and result.hiddens_dev is not None:
                 if sd is None:
@@ -630,12 +639,13 @@ class Chat:
 
         def step(dp, vp, state, hid, c, end):
             spec, dstate, vstate = core(dp, vp, state, hid, c, end)
+            sre, sim = jnp.real(spec), jnp.imag(spec)
             # the ISTFT lags one chunk: it consumes full-decode frames
             # [(c-1)*F, c*F), which sit at stream offset Dc in the last
             # two spec chunks
-            re = jnp.concatenate([state["spec_re"], jnp.real(spec)],
+            re = jnp.concatenate([state["spec_re"], sre],
                                  axis=1)[:, Dc:Dc + F]
-            im = jnp.concatenate([state["spec_im"], jnp.imag(spec)],
+            im = jnp.concatenate([state["spec_im"], sim],
                                  axis=1)[:, Dc:Dc + F]
             raw, carry = stft_ops.istft_stream(
                 jax.lax.complex(re, im), state["carry"], n_fft, hop)
@@ -643,8 +653,7 @@ class Chat:
                 raw = jnp.clip(raw * 32767.0, -32767, 32767).astype(
                     jnp.int16)
             return raw, {"dec": dstate, "voc": vstate,
-                         "spec_re": jnp.real(spec),
-                         "spec_im": jnp.imag(spec), "carry": carry}
+                         "spec_re": sre, "spec_im": sim, "carry": carry}
 
         fns = (init_state, jax.jit(first, donate_argnums=(2,)),
                jax.jit(step, donate_argnums=(2,)))
@@ -667,7 +676,8 @@ class Chat:
         same guard math as streaming with ``first_guard=None`` (exact
         receptive cone), same per-row end masking as the one-shot decode;
         equality is pinned by tests/test_streaming.py."""
-        from .engine.streaming import AsyncDeviceWindows, plan_windows
+        from .engine.streaming import (AsyncDeviceWindows, copy_to_host_async,
+                                       plan_windows)
 
         rt = self.config.runtime
         B = len(batch)
@@ -684,7 +694,7 @@ class Chat:
             # one possibly-ragged final chunk) plus the guard for its
             # inexact left edge.
             init_state, first_fn, step_fn = incr
-            flush_w = -(-(2 * chunk + guard + 8) // 16) * 16
+            flush_w = _round_up(2 * chunk + guard + 8, 16)
             state = init_state()
         else:
             flush_w = window  # windowed fallback (chunk < conv offset)
@@ -695,28 +705,23 @@ class Chat:
         final_res = None
         fed = 0
         emitted = 0  # samples emitted by the incremental stream
-        saw_final = False
         broken = False  # device hiddens unavailable: one-shot at the end
-        for result in self._infer_code(batch, True, True, params,
-                                       stream_batch_override=chunk,
-                                       speculate=True):
-            if saw_final:
-                # any yield after an attempt's final output means the
-                # empty-generation retry restarted generation: drop
-                # everything accumulated from the discarded attempt
+        for restarted, result in self._attempt_stream(self._infer_code(
+                batch, True, True, params, stream_batch_override=chunk,
+                speculate=True)):
+            if restarted:
                 parts.clear()
                 fed = emitted = 0
                 sd = None
                 if incr is not None:
                     state = init_state()
-            saw_final = not result.partial
+            ends = [ids.shape[0] for ids in result.ids]
+            if final_res is not None:
+                final_res.destroy()
+            final_res = result
             if result.hiddens_dev is None:
                 broken = True  # decode the final output one-shot instead
             if broken:
-                ends = [ids.shape[0] for ids in result.ids]
-                if final_res is not None:
-                    final_res.destroy()
-                final_res = result
                 continue
             n = result.hiddens_dev.shape[1]
             if incr is not None:
@@ -733,10 +738,7 @@ class Chat:
                             hidc, jnp.int32(fed), result.end_dev)
                         if fed == 1:  # drop the ISTFT center padding once
                             pcm = pcm[:, self.config.vocos.n_fft // 2:]
-                        try:
-                            pcm.copy_to_host_async()
-                        except Exception:
-                            pass
+                        copy_to_host_async(pcm)
                         parts.append(pcm)
                         emitted += pcm.shape[1]
                     fed += 1
@@ -751,10 +753,6 @@ class Chat:
                                        end_dev=result.end_dev,
                                        final=bool(result.finished.all()))
             last = (result.hiddens_dev, n, result.end_dev)
-            ends = [ids.shape[0] for ids in result.ids]
-            if final_res is not None:
-                final_res.destroy()
-            final_res = result
         if broken and final_res is not None:
             # hiddens never reached the device path: decode the final
             # output one-shot (same attempt - no re-generation)
@@ -785,10 +783,7 @@ class Chat:
             wav_w = self._device_window_fn(flush_w)(
                 last[0], lo, n, 0, last[2])
             tail = wav_w[:, emitted - lo * spc:]
-            try:
-                tail.copy_to_host_async()
-            except Exception:
-                pass
+            copy_to_host_async(tail)
             parts.append(tail)
         elif sd is not None and sd.emitted < sd.available:
             parts += sd.update_dev(last[0], last[1], end_dev=last[2],

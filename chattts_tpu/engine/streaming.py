@@ -28,6 +28,14 @@ import numpy as np
 SAMPLES_PER_HIDDEN = 512  # 2 mel frames x hop 256
 
 
+def copy_to_host_async(arr) -> None:
+    """Start an async device->host copy; no-op when unsupported."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:  # non-jax array or backend without async D2H
+        pass
+
+
 def conv_stack_receptive(n_layer: int, kernel: int, dilation: int) -> int:
     """One-sided receptive field of a DVAE-style stack, in its own frames."""
     rf = 1 + 1  # conv_in: two k=3 p=1 convs
@@ -254,10 +262,7 @@ class AsyncDeviceWindows(DeviceStreamingDecoder):
 
     def _slice(self, wav, a: int, b: int):
         part = wav[:, a:b]
-        try:
-            part.copy_to_host_async()
-        except Exception:  # non-jax array or backend without async D2H
-            pass
+        copy_to_host_async(part)
         return part
 
     def _cat(self, out: list):
