@@ -910,7 +910,10 @@ class Chat:
             self._code_engine = Engine(
                 self.config.gpt,
                 EngineConfig(
-                    max_num_seqs=8,
+                    # 16 slots: the fused-step kernel's VMEM budget caps at
+                    # 16, and B=16 measured as the throughput sweet spot
+                    # (PERF.md batch-scaling table: 40k speech tokens/s)
+                    max_num_seqs=16,
                     max_prompt_len=max_prompt,
                     max_new_tokens=max_new,
                     chunk_steps=24,

@@ -373,3 +373,21 @@ def test_long_chunks_match_short_chunks(tiny_config, params):
     # stat reflects actual executed steps, not the requested chunk length
     assert eng_long.stats["steps"] <= eng_long.ecfg.chunk_steps_max
     assert eng_long.stats["steps"] >= max(o.ids.shape[0] for o in outs_long)
+
+
+def test_speculation_equivalence(tiny_config, params):
+    """Dispatch-ahead speculation must not change tokens: same seeds with
+    speculate on/off produce identical outputs (the speculative chunk after
+    all-finish is a no-op and harvest reads append-only state)."""
+    cfg = tiny_config.gpt
+    outs = {}
+    for spec in (True, False):
+        eng = _mk_engine(tiny_config, params, chunk_steps=2, speculate=spec)
+        rs = [_req(cfg, f"q{i}", min_new=3, max_new=9, seed=100 + i)
+              for i in range(3)]
+        outs[spec] = eng.generate(rs)
+        assert not eng.has_unfinished()
+    for a, b in zip(outs[True], outs[False]):
+        assert a.request_id == b.request_id
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_array_equal(a.hiddens, b.hiddens)
