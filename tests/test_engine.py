@@ -391,3 +391,47 @@ def test_speculation_equivalence(tiny_config, params):
         assert a.request_id == b.request_id
         np.testing.assert_array_equal(a.ids, b.ids)
         np.testing.assert_array_equal(a.hiddens, b.hiddens)
+
+
+def test_engine_chaos_invariants(tiny_config, params):
+    """Randomized serving chaos: interleaved admissions, aborts, long/short
+    requests, and a mid-run interrupt must never strand work - every
+    request either finishes (with its exact requested length bounds) or is
+    accounted for as dropped, and the engine ends drained."""
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params, max_num_seqs=2, chunk_steps=2,
+                     max_new_tokens=16, preempt_after_chunks=2)
+    rng = np.random.default_rng(0)
+    submitted, finished, aborted = {}, {}, set()
+    k = 0
+    for it in range(60):
+        if rng.random() < 0.5 and len(submitted) < 20:
+            n = int(rng.integers(2, 12))
+            r = _req(cfg, f"x{k}", min_new=min(2, n), max_new=n, seed=k)
+            submitted[r.request_id] = n
+            eng.add_request(r)
+            k += 1
+        if rng.random() < 0.15 and submitted:
+            rid = rng.choice([r for r in submitted
+                              if r not in finished and r not in aborted] or
+                             list(submitted))
+            if eng.abort_request(rid):
+                aborted.add(rid)
+        for o in eng.step():
+            finished[o.request_id] = o
+    # mid-run interrupt drops whatever is in flight
+    dropped = {r.request_id for r in eng.interrupt()}
+    assert not eng.has_unfinished()
+    # drain: everything submitted is finished, aborted, or dropped
+    for rid, max_n in submitted.items():
+        if rid in finished:
+            o = finished[rid]
+            assert 0 <= o.ids.shape[0] <= max_n
+            assert o.hiddens.shape[0] == o.ids.shape[0]
+            assert o.finish_reason in ("eos", "length")
+        else:
+            assert rid in aborted or rid in dropped, rid
+    assert finished  # the chaos actually completed work
+    # the engine is reusable afterwards
+    outs = eng.generate([_req(cfg, "post", min_new=2, max_new=4, seed=1)])
+    assert len(outs) == 1 and outs[0].ids.shape[0] >= 2
