@@ -219,6 +219,14 @@ class Chat:
             functools.partial(dvae_mod.decode_from_indices, cfg=cfg.dvae))
         self._vocos_jit = jax.jit(
             functools.partial(vocos_mod.decode, cfg=cfg.vocos))
+
+        def _vocos_wire(vp, mel):
+            # quantize on device so host-batch decodes (engine-backed and
+            # ids paths) also transfer int16 PCM - half the bytes of f32
+            wav = vocos_mod.decode(vp, mel, cfg=cfg.vocos)
+            return jnp.clip(wav * 32767.0, -32767, 32767).astype(jnp.int16)
+
+        self._vocos_wire_jit = jax.jit(_vocos_wire)
         self._encode_audio_jit = jax.jit(
             functools.partial(dvae_mod.encode_audio, cfg=cfg.dvae,
                               mel_cfg=cfg.vocos.mel))
@@ -834,7 +842,11 @@ class Chat:
             for i, ids in enumerate(items):
                 batch[i, : ids.shape[0]] = ids
             mel = self._decode_indices_jit(self.dvae_params, jnp.asarray(batch))
-        wav = np.array(self._vocos_jit(self.vocos_params, mel))
+        if cfg.runtime.wire_int16:
+            wav = (np.asarray(self._vocos_wire_jit(self.vocos_params, mel))
+                   .astype(np.float32) / 32767.0)
+        else:
+            wav = np.array(self._vocos_jit(self.vocos_params, mel))
         # zero the decode-bucket padding tail: zero *features* are not inert
         # through the conv/norm stacks, so with real weights the pad region
         # vocodes to non-silence that the |x|>1e-5 strip would keep.  Each

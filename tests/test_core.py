@@ -361,3 +361,24 @@ def test_pipelined_resets_on_empty_retry(chat, monkeypatch):
     scale = max(np.abs(ref).max(), 1e-6)
     np.testing.assert_allclose(got[:, :m] / scale, ref[:, :m] / scale,
                                atol=3e-4)
+
+
+def test_wire_int16_host_decode_path(tiny_config):
+    """With wire_int16, the host-batch decode (engine-backed / ids paths)
+    quantizes on device; output matches the f32 path within 1 LSB."""
+    from dataclasses import replace
+
+    c32 = Chat(config=tiny_config)
+    c32.load(source="random", seed=0, use_engine=True)
+    p = _code_params(max_new_token=10, min_new_token=10, manual_seed=4)
+    ref = c32.infer("wire check", skip_refine_text=True,
+                    params_infer_code=p)
+
+    cfg16 = tiny_config.with_runtime(wire_int16=True)
+    c16 = Chat(config=cfg16)
+    c16.load(source="random", seed=0, use_engine=True)
+    got = c16.infer("wire check", skip_refine_text=True,
+                    params_infer_code=p)
+    assert len(got) == len(ref) == 1
+    n = min(got[0].shape[0], ref[0].shape[0])
+    np.testing.assert_allclose(got[0][:n], ref[0][:n], atol=1.5 / 32767.0)
