@@ -999,12 +999,13 @@ class Chat:
         chunk yields cumulative partials in the generator's output format."""
         eng = self._engine_for_code()
         if not stream:
+            from .engine.batching import outputs_to_generation
+
             outs = eng.generate(self._code_requests(text, params),
                                 context=self.context)
-            yield GenerationOutputs(
-                ids=[o.ids for o in outs],
-                hiddens=[o.hiddens for o in outs],
-                finished=np.asarray([o.finish_reason == "eos" for o in outs]))
+            # non-streaming outputs keep hiddens device-resident: the
+            # batch feeds the device decode path without a host round trip
+            yield outputs_to_generation(outs, self.config.gpt.hidden_size)
             return
 
         acc_ids: List[List[np.ndarray]] = [[] for _ in text]

@@ -144,9 +144,45 @@ class EngineRequest:
 class EngineOutput:
     request_id: str
     ids: np.ndarray              # (T, num_vq) or (T,) generated tokens
-    hiddens: Optional[np.ndarray]  # (T, D) or None
+    hiddens: Optional[np.ndarray]  # (T, D) host copy, or None (see below)
     finish_reason: str           # "eos" | "length"
     metrics: Dict[str, float] = field(default_factory=dict)
+    # device-resident (T, D) hiddens: non-streaming requests keep their
+    # hiddens ON DEVICE (the only consumer is the jitted mel decoder, and
+    # a host round trip of (T, 768) f32 costs more than the decode);
+    # ``host_hiddens()`` materializes on demand
+    hiddens_dev: Optional[jax.Array] = None
+
+    def host_hiddens(self) -> Optional[np.ndarray]:
+        if self.hiddens is None and self.hiddens_dev is not None:
+            self.hiddens = np.asarray(self.hiddens_dev)
+        return self.hiddens
+
+
+def outputs_to_generation(outs: List["EngineOutput"], hidden_size: int):
+    """Stack finished EngineOutputs into a GenerationOutputs batch.
+
+    When every output kept its hiddens device-resident, the batch stays on
+    device (hiddens_dev + end_dev) and feeds the device decode path
+    directly - no host round trip of the hidden states."""
+    from .generate import GenerationOutputs
+
+    finished = np.asarray([o.finish_reason == "eos" for o in outs])
+    if outs and all(o.hiddens_dev is not None for o in outs):
+        lens = [o.hiddens_dev.shape[0] for o in outs]
+        n_max = max(lens)
+        if n_max:
+            hb = jnp.stack([
+                jnp.pad(o.hiddens_dev,
+                        ((0, n_max - o.hiddens_dev.shape[0]), (0, 0)))
+                for o in outs])
+            return GenerationOutputs(
+                ids=[o.ids for o in outs], hiddens=[], finished=finished,
+                hiddens_dev=hb, end_dev=jnp.asarray(lens, jnp.int32))
+    return GenerationOutputs(
+        ids=[o.ids for o in outs],
+        hiddens=[o.host_hiddens() for o in outs],
+        finished=finished)
 
 
 class SlotState(NamedTuple):
@@ -802,22 +838,32 @@ class Engine:
         # fetch them in at most TWO bulk device->host reads (blocking reads
         # over the host link cost tens of ms each; per-slot reads dominated
         # harvest before this)
-        need_hi = 0
+        def dev_hiddens_ok(req):
+            # non-streaming, non-resumed requests keep hiddens ON DEVICE
+            # (per-slot copy at finish); streaming and preemption-resumed
+            # ones still need the host window
+            return (self.ecfg.collect_hidden and req.on_tokens is None
+                    and req._resume_hiddens is None)
+
+        need_ids = need_hid = 0
         for s, req in enumerate(self.slots):
             if req is None or not active[s]:
                 continue
             off = req.resume_len
             if (req.on_tokens is not None
                     and off + step_in[s] > req._emitted):
-                need_hi = max(need_hi,
-                              int(min(end_idx[s], step_in[s])))
+                w = int(min(end_idx[s], step_in[s]))
+                need_ids = max(need_ids, w)
+                need_hid = max(need_hid, w)
             if finish[s]:
-                need_hi = max(need_hi, int(end_idx[s]))
+                need_ids = max(need_ids, int(end_idx[s]))
+                if not dev_hiddens_ok(req):
+                    need_hid = max(need_hid, int(end_idx[s]))
         ids_np = hid_np = None
-        if need_hi:
-            ids_np = np.asarray(st.ids[:, Tp : Tp + need_hi])
-            if self.ecfg.collect_hidden:
-                hid_np = np.asarray(st.hiddens[:, :need_hi])
+        if need_ids:
+            ids_np = np.asarray(st.ids[:, Tp : Tp + need_ids])
+        if need_hid and self.ecfg.collect_hidden:
+            hid_np = np.asarray(st.hiddens[:, :need_hid])
         for s, req in enumerate(self.slots):
             if req is None or not active[s]:
                 continue
@@ -843,12 +889,20 @@ class Engine:
                 seq = np.concatenate([req._resume_ids.astype(np.int32), seq])
             total = off + n
             out_ids = seq[:, 0].copy() if self.ecfg.infer_text else seq.copy()
-            hid = None
+            hid = hid_dev = None
             if self.ecfg.collect_hidden:
-                hid = (hid_np[s, :n].copy() if n
-                       else np.zeros((0, st.hiddens.shape[-1]), np.float32))
-                if req._resume_hiddens is not None:
-                    hid = np.concatenate([req._resume_hiddens, hid])
+                if dev_hiddens_ok(req):
+                    # device-resident copy: a jnp slice materializes its own
+                    # buffer before the freed slot's rows can be rewritten
+                    # (in-order device execution; the next prefill for this
+                    # slot is enqueued strictly later)
+                    hid_dev = st.hiddens[s, :n]
+                else:
+                    hid = (hid_np[s, :n].copy() if n
+                           else np.zeros((0, st.hiddens.shape[-1]),
+                                         np.float32))
+                    if req._resume_hiddens is not None:
+                        hid = np.concatenate([req._resume_hiddens, hid])
             reason = "length" if total >= int(max_new[s]) else "eos"
             self.slots[s] = None
             self.state = self.state._replace(
@@ -864,7 +918,7 @@ class Engine:
                 continue
             outputs.append(EngineOutput(
                 request_id=req.request_id, ids=out_ids, hiddens=hid,
-                finish_reason=reason,
+                hiddens_dev=hid_dev, finish_reason=reason,
                 metrics={"gen_tokens": float(total),
                          "latency_s": time.monotonic() - req.arrival}))
             # `total` counts resumed tokens too; they were never tallied at

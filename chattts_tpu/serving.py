@@ -183,11 +183,10 @@ class TTSService:
         futs = self._submit(c._engine_for_code(),
                             self._code_reqs(texts, params_code))
         outs = [self._result(f) for f in futs]
-        from .engine.generate import GenerationOutputs
+        from .engine.batching import outputs_to_generation
 
-        result = GenerationOutputs(
-            ids=[o.ids for o in outs], hiddens=[o.hiddens for o in outs],
-            finished=np.asarray([o.finish_reason == "eos" for o in outs]))
+        # device-resident hiddens (when kept) feed the device decode path
+        result = outputs_to_generation(outs, c.config.gpt.hidden_size)
         wavs = c._decode_to_wavs(result, use_decoder=True)
         keep = [w[np.abs(w) > 1e-5] for w in wavs]
         return (np.concatenate(keep) if keep else np.zeros((0,), np.float32))

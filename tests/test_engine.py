@@ -46,7 +46,7 @@ def test_offline_generate_batch(tiny_config, params):
     for o in outs:
         assert o.ids.ndim == 2 and o.ids.shape[1] == cfg.num_vq
         assert 0 <= o.ids.shape[0] <= 8
-        assert o.hiddens.shape == (o.ids.shape[0], cfg.hidden_size)
+        assert o.host_hiddens().shape == (o.ids.shape[0], cfg.hidden_size)
         assert o.finish_reason in ("eos", "length")
         # EOS token never appears in kept output
         assert (o.ids < cfg.num_audio_tokens - 1).all()
@@ -217,7 +217,7 @@ def test_preemption_admits_short_request(tiny_config, params):
     for i in range(2):
         o = by_id[f"L{i}"]
         assert o.ids.shape[0] == 12  # resumed tokens + new tokens, none lost
-        assert o.hiddens.shape == (12, cfg.hidden_size)
+        assert o.host_hiddens().shape == (12, cfg.hidden_size)
 
 
 def test_engine_interrupt_drains(tiny_config, params):
@@ -267,7 +267,7 @@ def test_engine_with_fused_step_kernel(monkeypatch):
         assert len(outs) == 3
         for o in outs:
             assert 3 <= o.ids.shape[0] <= 6
-            assert o.hiddens.shape[1] == cfg.hidden_size
+            assert o.host_hiddens().shape[1] == cfg.hidden_size
         # seed determinism on the fused engine
         eng2 = bat.Engine(cfg, ecfg, gp, ep)
         outs2 = eng2.generate([reqs[0].__class__(**{
@@ -303,7 +303,7 @@ def test_mesh_sharded_engine(tiny_config, params):
     assert len(outs) == 1
     assert outs[0].ids.ndim == 2 and outs[0].ids.shape[1] == cfg.num_vq
     assert 6 <= outs[0].ids.shape[0] <= 8
-    assert outs[0].hiddens.shape == (outs[0].ids.shape[0], cfg.hidden_size)
+    assert outs[0].host_hiddens().shape == (outs[0].ids.shape[0], cfg.hidden_size)
     # note: token-exact equality with the unsharded engine is NOT required -
     # tp-sharded reductions reassociate floats and can flip sampling ties.
     # determinism within the sharded engine must hold:
@@ -390,7 +390,7 @@ def test_speculation_equivalence(tiny_config, params):
     for a, b in zip(outs[True], outs[False]):
         assert a.request_id == b.request_id
         np.testing.assert_array_equal(a.ids, b.ids)
-        np.testing.assert_array_equal(a.hiddens, b.hiddens)
+        np.testing.assert_array_equal(a.host_hiddens(), b.host_hiddens())
 
 
 def test_engine_chaos_invariants(tiny_config, params):
@@ -427,7 +427,7 @@ def test_engine_chaos_invariants(tiny_config, params):
         if rid in finished:
             o = finished[rid]
             assert 0 <= o.ids.shape[0] <= max_n
-            assert o.hiddens.shape[0] == o.ids.shape[0]
+            assert o.host_hiddens().shape[0] == o.ids.shape[0]
             assert o.finish_reason in ("eos", "length")
         else:
             assert rid in aborted or rid in dropped, rid
