@@ -388,7 +388,13 @@ def decode_step_fused(
     # scoped VMEM at any batch size.  Other scratch (gate/up, append windows,
     # per-row selectors) also grows with B, so the kv budget shrinks for
     # large slot counts (measured: 6 MB OOMs at B=32; 3 MB fits).
-    budget = (6 << 20) if B <= 16 else (2 << 20)
+    # CHATTTS_STEP_VMEM_MB overrides the B<=16 budget (read at trace time);
+    # larger budgets mean longer kv chunks - fewer per-chunk fixed costs at
+    # wide batch, at the price of VMEM pressure.
+    import os
+
+    mb = int(os.environ.get("CHATTTS_STEP_VMEM_MB", "6"))
+    budget = (mb << 20) if B <= 16 else (2 << 20)
     budget_rows = max(8, budget // (2 * KRING * B * HD * 2))
     # largest multiple of 8 that divides T and fits the requested chunk
     TC = min(t_chunk, T, (budget_rows // 8) * 8)
