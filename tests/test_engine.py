@@ -435,3 +435,34 @@ def test_engine_chaos_invariants(tiny_config, params):
     # the engine is reusable afterwards
     outs = eng.generate([_req(cfg, "post", min_new=2, max_new=4, seed=1)])
     assert len(outs) == 1 and outs[0].ids.shape[0] >= 2
+
+
+def test_outputs_to_generation_device_batch(tiny_config, params):
+    """Non-streaming engine outputs keep hiddens on device; the stacked
+    GenerationOutputs batch must decode identically to the host copies."""
+    from chattts_tpu.engine.batching import outputs_to_generation
+
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params)
+    outs = eng.generate([_req(cfg, f"d{i}", min_new=3, max_new=6 + i,
+                              seed=i) for i in range(3)])
+    assert all(o.hiddens_dev is not None for o in outs)
+    g = outputs_to_generation(outs, cfg.hidden_size)
+    assert g.hiddens_dev is not None and g.end_dev is not None
+    n_max = max(o.hiddens_dev.shape[0] for o in outs)
+    assert g.hiddens_dev.shape == (3, n_max, cfg.hidden_size)
+    ends = np.asarray(g.end_dev)
+    for i, o in enumerate(outs):
+        n = o.host_hiddens().shape[0]
+        assert ends[i] == n == o.ids.shape[0]
+        np.testing.assert_array_equal(np.asarray(g.hiddens_dev[i, :n]),
+                                      o.host_hiddens())
+        assert not np.asarray(g.hiddens_dev[i, n:]).any()  # zero padding
+
+    # streaming requests keep the host/callback path (no device copy)
+    eng2 = _mk_engine(tiny_config, params)
+    got = []
+    req = _req(cfg, "s", min_new=3, max_new=6,
+               on_tokens=lambda rid, ids, hid, fin: got.append(hid))
+    outs2 = eng2.generate([req])
+    assert outs2[0].hiddens_dev is None and outs2[0].hiddens is not None
