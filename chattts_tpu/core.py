@@ -452,8 +452,14 @@ class Chat:
         pending = np.zeros((len(batch), 0), np.float32)
         pass_batch_count = 0
         last = None  # (device feats, n) or np items for the tail flush
+        # dispatch-ahead AFTER the first emission window: the TTFA-critical
+        # first chunk stays synchronous, steady-state yields hide the
+        # per-chunk status round trip behind the next chunk's compute
+        # (each window then materializes one chunk later - a constant
+        # ~one-chunk shift in emission latency, not a rate change)
         for restarted, result in self._attempt_stream(
-                self._infer_code(batch, True, use_decoder, params)):
+                self._infer_code(batch, True, use_decoder, params,
+                                 speculate=True, speculate_from=2)):
             if restarted:
                 sd = None
                 pending = np.zeros((len(batch), 0), np.float32)
@@ -1041,7 +1047,8 @@ class Chat:
     def _infer_code(self, text: List[str], stream: bool, return_hidden: bool,
                     params: "Chat.InferCodeParams",
                     stream_batch_override: Optional[int] = None,
-                    speculate: bool = False):
+                    speculate: bool = False,
+                    speculate_from: int = 0):
         if getattr(self, "use_engine", False):
             return self._infer_code_engine(text, params, stream=stream)
         cfg = self.config.gpt
@@ -1072,5 +1079,6 @@ class Chat:
                           else (params.stream_batch if stream else 0)),
             return_hidden=return_hidden,
             speculate=speculate,
+            speculate_from=speculate_from,
         )
         return self.generator.generate(req, self.context)

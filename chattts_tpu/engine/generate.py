@@ -319,6 +319,11 @@ class GenerateRequest:
     # streaming consumer materializes each window synchronously and would
     # see +1 chunk of first-emission latency.
     speculate: bool = False
+    # with speculate=True, run this many chunks synchronously before
+    # dispatch-ahead starts: streaming sets 2 so the FIRST emission (the
+    # TTFA-critical window) is not queued behind a speculative chunk,
+    # while steady-state yields gain the hidden round trip
+    speculate_from: int = 0
 
 
 class Generator:
@@ -396,10 +401,13 @@ class Generator:
         chunk = req.stream_batch if req.stream_batch > 0 else req.max_new
         done = 0
         status_np = ids_np = None
-        if req.speculate and req.stream_batch > 0:
+        sync_until = (req.speculate_from * chunk if req.speculate
+                      else req.max_new)
+        if req.speculate and req.stream_batch > 0 and sync_until <= 0:
             st, status_np, ids_np = yield from self._run_speculative(
                 req, context, st, sp, eos_text, chunk, chunk_jit)
         else:
+            finished = False
             while done < req.max_new:
                 step_end = jnp.int32(min(done + chunk, req.max_new))
                 st, status, ids_gen = chunk_jit(
@@ -416,13 +424,22 @@ class Generator:
                     break
                 if context.get():
                     break
+                if done >= sync_until and req.stream_batch > 0:
+                    # switch to dispatch-ahead for the steady state
+                    break
+            if (req.speculate and req.stream_batch > 0 and not finished
+                    and done < req.max_new and not context.get()):
+                st, status_np, ids_np = yield from self._run_speculative(
+                    req, context, st, sp, eos_text, chunk, chunk_jit,
+                    start_hi=done)
         if status_np is None:  # max_new == 0: nothing generated
             status_np = np.zeros(3 + 2 * B, np.int32)
             ids_np = np.zeros((B, 0, self.cfg.num_vq), np.int32)
         return st, status_np, ids_np
 
     def _run_speculative(self, req: GenerateRequest, context: Interrupt,
-                         st, sp, eos_text, chunk, chunk_jit):
+                         st, sp, eos_text, chunk, chunk_jit,
+                         start_hi: int = 0):
         """Chunk loop with one chunk of dispatch-ahead (req.speculate).
 
         Keeps at most one unread chunk in flight: chunk k+1 is enqueued on
@@ -437,7 +454,7 @@ class Generator:
         hiddens unchanged - st stays the correct final state and the
         speculative status need not be read."""
         pending = deque()  # (status_dev, ids_dev) of dispatched chunks
-        next_hi = 0
+        next_hi = start_hi
 
         def dispatch():
             nonlocal st, next_hi

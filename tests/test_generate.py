@@ -93,3 +93,28 @@ def test_prompt_bucketing_pads_left(gen, tiny_config):
     req2.text_mask = np.ones((2, 5), bool)
     out2 = next(gen.generate(req2))
     assert len(out2.ids) == 2
+
+
+def test_streaming_speculation_equivalence(gen, tiny_config):
+    """speculate_from=k (sync head, dispatch-ahead steady state) yields the
+    same cumulative partials and identical final tokens as the synchronous
+    chunk loop."""
+    cfg = tiny_config.gpt
+
+    def run(**kw):
+        outs = list(gen.generate(_req(
+            cfg, stream_batch=3, max_new=12, min_new=6, seed=77, **kw)))
+        return outs
+
+    sync = run()
+    spec0 = run(speculate=True)                    # dispatch-ahead from 0
+    spec2 = run(speculate=True, speculate_from=2)  # streaming hybrid
+    for variant in (spec0, spec2):
+        assert len(variant) == len(sync)
+        for a, b in zip(variant, sync):
+            assert a.partial == b.partial
+            for ia, ib in zip(a.ids, b.ids):
+                np.testing.assert_array_equal(ia, ib)
+        for ha, hb in zip(variant[-1].materialize_hiddens(),
+                          sync[-1].materialize_hiddens()):
+            np.testing.assert_allclose(ha, hb, atol=0)
