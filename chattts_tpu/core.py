@@ -463,6 +463,7 @@ class Chat:
             if restarted:
                 sd = None
                 pending = np.zeros((len(batch), 0), np.float32)
+                pass_batch_count = 0  # reapply the first-yields suppression
             final = bool(result.finished.all())
             if use_decoder and result.hiddens_dev is not None:
                 if sd is None:
@@ -1011,7 +1012,7 @@ class Chat:
                                 context=self.context)
             # non-streaming outputs keep hiddens device-resident: the
             # batch feeds the device decode path without a host round trip
-            yield outputs_to_generation(outs, self.config.gpt.hidden_size)
+            yield outputs_to_generation(outs)
             return
 
         acc_ids: List[List[np.ndarray]] = [[] for _ in text]

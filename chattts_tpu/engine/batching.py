@@ -159,7 +159,7 @@ class EngineOutput:
         return self.hiddens
 
 
-def outputs_to_generation(outs: List["EngineOutput"], hidden_size: int):
+def outputs_to_generation(outs: List["EngineOutput"]):
     """Stack finished EngineOutputs into a GenerationOutputs batch.
 
     When every output kept its hiddens device-resident, the batch stays on

@@ -374,6 +374,12 @@ class Generator:
                 yield self._materialize(req, st, status, ids_np)
                 return
             # reference regenerates on unexpected immediate EOS (gpt.py:527-570)
+            if req.stream_batch > 0:
+                # streaming consumers detect the restart by a yield ARRIVING
+                # AFTER an attempt-final one (partial=False); without this
+                # yield the discarded attempt has no final and downstream
+                # accumulators would stitch two attempts together
+                yield self._materialize(req, st, status, ids_np)
 
     def _run_once(self, req: GenerateRequest, context: Interrupt, attempt: int):
         ids, attn, tmask, T0 = self._pad_prompt(req)

@@ -186,7 +186,7 @@ class TTSService:
         from .engine.batching import outputs_to_generation
 
         # device-resident hiddens (when kept) feed the device decode path
-        result = outputs_to_generation(outs, c.config.gpt.hidden_size)
+        result = outputs_to_generation(outs)
         wavs = c._decode_to_wavs(result, use_decoder=True)
         keep = [w[np.abs(w) > 1e-5] for w in wavs]
         return (np.concatenate(keep) if keep else np.zeros((0,), np.float32))

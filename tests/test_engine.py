@@ -447,7 +447,7 @@ def test_outputs_to_generation_device_batch(tiny_config, params):
     outs = eng.generate([_req(cfg, f"d{i}", min_new=3, max_new=6 + i,
                               seed=i) for i in range(3)])
     assert all(o.hiddens_dev is not None for o in outs)
-    g = outputs_to_generation(outs, cfg.hidden_size)
+    g = outputs_to_generation(outs)
     assert g.hiddens_dev is not None and g.end_dev is not None
     n_max = max(o.hiddens_dev.shape[0] for o in outs)
     assert g.hiddens_dev.shape == (3, n_max, cfg.hidden_size)

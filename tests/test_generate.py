@@ -95,6 +95,38 @@ def test_prompt_bucketing_pads_left(gen, tiny_config):
     assert len(out2.ids) == 2
 
 
+def test_streaming_retry_yields_discarded_final(gen, tiny_config, monkeypatch):
+    """When the empty-generation retry restarts a STREAMING attempt, the
+    failed attempt's final output (partial=False) must still be yielded:
+    consumers detect the restart as "a yield arriving after a final" and
+    drop the discarded attempt's accumulation (core._attempt_stream)."""
+    cfg = tiny_config.gpt
+    real = gen._run_once
+    calls = {"n": 0}
+
+    def forced(req, context, attempt):
+        st, status, ids_np = yield from real(req, context, attempt)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            status = status.copy()
+            status[2] = 1  # claim any_empty: forces the retry path
+        return st, status, ids_np
+
+    monkeypatch.setattr(gen, "_run_once", forced)
+    outs = list(gen.generate(_req(cfg, stream_batch=4, max_new=12,
+                                  seed=None)))
+    finals = [i for i, o in enumerate(outs) if not o.partial]
+    # two attempt-finals: the discarded attempt's and the accepted one's
+    assert len(finals) == 2
+    assert finals[-1] == len(outs) - 1
+    # the consumer-side wrapper must flag the restart on the next yield
+    from chattts_tpu.core import Chat
+
+    restarts = [r for r, _ in Chat._attempt_stream(iter(outs))]
+    assert restarts[finals[0] + 1] is True
+    assert not any(restarts[: finals[0] + 1])
+
+
 def test_streaming_speculation_equivalence(gen, tiny_config):
     """speculate_from=k (sync head, dispatch-ahead steady state) yields the
     same cumulative partials and identical final tokens as the synchronous
