@@ -17,10 +17,13 @@ Backends:
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 # Control tokens of the ChatTTS prompt language. [break_0] must sort first:
 # every id >= break_0's is treated as non-text by the refine pass.
@@ -118,6 +121,20 @@ class Tokenizer:
         self.spk_emb_ids = self._backend.token_id("[spk_emb]")
         self.break_0_ids = self._backend.token_id("[break_0]")
         self.eos_token = self._backend.token_id("[Ebreak]")
+        # The refine pass strips control tokens as ``ids < break_0_ids``
+        # (core.py filter; reference ChatTTS/core.py:426-427).  That silently
+        # assumes the vocab places EVERY control token at or above [break_0]
+        # - validate it at load, because a violating vocab would leak control
+        # tokens into refined text with no error anywhere downstream.  A
+        # token missing from an HF vocab maps to [UNK] (a low id) and is
+        # flagged by the same check.
+        bad = [t for t in CONTROL_TOKENS
+               if (self._backend.token_id(t) or 0) < self.break_0_ids]
+        if bad:
+            logger.warning(
+                "control tokens below [break_0] (id %d) in the vocab: %s - "
+                "the refine-text filter will not strip them",
+                self.break_0_ids, bad)
 
     def encode(
         self,
