@@ -128,6 +128,9 @@ class EngineRequest:
     ensure_non_empty: bool = True  # retry on immediate EOS (gpt.py:527-570)
     # streaming callback: fn(request_id, new_ids, new_hiddens, finished)
     on_tokens: Optional[Callable] = None
+    # host progress hook fn(done_steps), fired from harvest every chunk
+    # (rides the existing per-chunk status read; show_tqdm support)
+    on_progress: Optional[Callable] = None
     arrival: float = field(default_factory=time.monotonic)
     # -- internal (engine-managed) ---------------------------------------
     _attempts: int = 0           # ensure_non_empty retries so far
@@ -592,19 +595,31 @@ class Engine:
                 f"prompt capacity {limit}")
         self.waiting.append(req)
 
-    def abort_request(self, request_id: str) -> bool:
-        """Drop a queued or running request (llm_engine.py:365-371)."""
+    def abort_request(self, request_id: str) -> Optional[EngineRequest]:
+        """Drop a queued or running request (llm_engine.py:365-371).
+
+        Mirrors ``interrupt`` for a single request: fires the final
+        ``on_tokens(rid, None, None, True)`` notification so a streaming
+        consumer blocked on this request unblocks, and returns the dropped
+        request (None when unknown) so serving layers can fail its waiters.
+        """
+        req = None
         for i, r in enumerate(self.waiting):
             if r.request_id == request_id:
                 del self.waiting[i]
-                return True
-        for s, r in enumerate(self.slots):
-            if r is not None and r.request_id == request_id:
-                self.slots[s] = None
-                self.state = self.state._replace(
-                    active=self.state.active.at[s].set(False))
-                return True
-        return False
+                req = r
+                break
+        if req is None:
+            for s, r in enumerate(self.slots):
+                if r is not None and r.request_id == request_id:
+                    self.slots[s] = None
+                    self.state = self.state._replace(
+                        active=self.state.active.at[s].set(False))
+                    req = r
+                    break
+        if req is not None and req.on_tokens is not None:
+            req.on_tokens(req.request_id, None, None, True)
+        return req
 
     def has_unfinished(self) -> bool:
         return bool(self.waiting) or any(r is not None for r in self.slots)
@@ -868,6 +883,8 @@ class Engine:
             if req is None or not active[s]:
                 continue
             off = req.resume_len  # tokens generated before this slot tenure
+            if req.on_progress is not None:
+                req.on_progress(off + int(step_in[s]))
             # streaming callback with newly generated tokens (global counts)
             if (req.on_tokens is not None
                     and off + step_in[s] > req._emitted):

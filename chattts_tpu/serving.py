@@ -98,6 +98,21 @@ class TTSService:
                 if not busy:
                     self._work.clear()
 
+    def abort(self, request_id: str) -> bool:
+        """Drop ONE queued or running request (engine ``abort_request``
+        parity, reference llm_engine.py:365-371).  Its blocked waiter
+        unblocks: a ``synthesize`` mailbox raises InterruptedError, a
+        ``synthesize_stream`` iterator receives its final notification and
+        ends - nothing hangs."""
+        with self._mu:
+            for eng in self._engines():
+                if eng.abort_request(request_id) is not None:
+                    mailbox = self._pending.pop(request_id, None)
+                    if mailbox is not None:
+                        mailbox.put(None)
+                    return True
+        return False
+
     def interrupt(self) -> int:
         """Drop all queued/running work; blocked waiters get a
         CancelledError instead of hanging."""

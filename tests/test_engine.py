@@ -90,11 +90,64 @@ def test_abort(tiny_config, params):
     eng = _mk_engine(tiny_config, params)
     eng.add_request(_req(cfg, "a0", max_new=8))
     eng.add_request(_req(cfg, "a1", max_new=8))
-    assert eng.abort_request("a1")  # still waiting
+    dropped = eng.abort_request("a1")  # still waiting
+    assert dropped is not None and dropped.request_id == "a1"
     eng.step()  # admits + runs a0
     assert eng.abort_request("a0")  # now running
     assert not eng.abort_request("missing")
     assert not eng.has_unfinished()
+
+
+def test_abort_notifies_streaming_consumer(tiny_config, params):
+    """Aborting a STREAMING request must fire the final on_tokens
+    notification (like interrupt) - a consumer blocked on that callback
+    would otherwise wait forever (llm_engine.py:365-371 parity)."""
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params, max_num_seqs=1, chunk_steps=2)
+    events = {"queued": [], "running": []}
+    eng.add_request(_req(
+        cfg, "run", min_new=8, max_new=12,
+        on_tokens=lambda rid, ids, hid, fin: events["running"].append(
+            (ids is None, fin))))
+    eng.add_request(_req(
+        cfg, "queue", max_new=8,
+        on_tokens=lambda rid, ids, hid, fin: events["queued"].append(
+            (ids is None, fin))))
+    eng.step()  # admits "run" (1 slot); "queue" stays waiting
+    assert eng.abort_request("run")
+    assert eng.abort_request("queue")
+    # both consumers saw a FINAL notification with no payload
+    assert events["running"][-1] == (True, True)
+    assert events["queued"][-1] == (True, True)
+    assert not eng.has_unfinished()
+
+
+def test_service_abort_unblocks_waiter(tiny_config):
+    """TTSService.abort drops one request and fails its mailbox waiter
+    instead of leaving it blocked (driver stopped: deterministic)."""
+    import pytest as _pytest
+
+    from chattts_tpu.core import Chat
+    from chattts_tpu.serving import TTSService
+
+    chat = Chat(config=tiny_config)
+    chat.load(source="random", seed=0, use_engine=True)
+    svc = TTSService(chat)
+    try:
+        svc._stop = True  # halt the driver so the abort races nothing
+        svc._work.set()
+        svc._driver.join(timeout=10)
+        p = Chat.InferCodeParams(max_new_token=32, min_new_token=32)
+        futs = svc._submit(chat._engine_for_code(),
+                           svc._code_reqs(["abort target"], p))
+        rid = next(iter(svc._pending))
+        assert svc.abort(rid)
+        with _pytest.raises(InterruptedError):
+            svc._result(futs[0])
+        assert rid not in svc._pending
+        assert not svc.abort(rid)  # already gone
+    finally:
+        svc.close()
 
 
 def test_text_mode(tiny_config, params):
