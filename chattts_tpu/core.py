@@ -413,6 +413,28 @@ class Chat:
                                           params_infer_code)
 
     @staticmethod
+    def _progress_bar(params, n_requests: int, desc: str, per_request: bool):
+        """tqdm progress over a generation pass when ``show_tqdm`` asks.
+
+        ``per_request``: engine slots advance independently (total scales
+        with batch); the generator's batch loop advances all rows together
+        (total is one request's step budget).
+        """
+        if not params.show_tqdm:
+            return None
+        from .utils.progress import ProgressBar
+
+        total = params.max_new_token * (n_requests if per_request else 1)
+        return ProgressBar(total, desc=desc)
+
+    @staticmethod
+    def _closing_bar(gen, bar):
+        try:
+            yield from gen
+        finally:
+            bar.close()
+
+    @staticmethod
     def _attempt_stream(gen):
         """Wrap a generation stream as (restarted, result) pairs.
 
@@ -892,7 +914,17 @@ class Chat:
                         max_new=params.max_new_token,
                         seed=params.manual_seed,
                         ensure_non_empty=params.ensure_non_empty))
-                outs = eng.generate(reqs, context=self.context)
+                bar = self._progress_bar(params, len(reqs), "refine_text",
+                                         per_request=True)
+                if bar is not None:
+                    for r in reqs:
+                        r.on_progress = functools.partial(bar.report,
+                                                          r.request_id)
+                try:
+                    outs = eng.generate(reqs, context=self.context)
+                finally:
+                    if bar is not None:
+                        bar.close()
                 return GenerationOutputs(
                     ids=[o.ids for o in outs], hiddens=[],
                     finished=np.asarray(
@@ -908,7 +940,15 @@ class Chat:
             max_new=params.max_new_token, min_new=params.min_new_token,
             seed=params.manual_seed, ensure_non_empty=params.ensure_non_empty,
         )
-        return next(self.generator.generate(req, self.context))
+        bar = self._progress_bar(params, len(text), "refine_text",
+                                 per_request=False)
+        if bar is not None:
+            req.on_progress = functools.partial(bar.report, "batch")
+        try:
+            return next(self.generator.generate(req, self.context))
+        finally:
+            if bar is not None:
+                bar.close()
 
     def _engine_for_code(self):
         """Lazily build the continuous-batching engine for code generation.
@@ -967,10 +1007,8 @@ class Chat:
                 spk_emb_ids=self.tokenizer.spk_emb_ids)
         return self._text_engine
 
-    def _code_requests(self, text, params: "Chat.InferCodeParams",
-                       on_tokens=None):
-        from .engine.batching import EngineRequest
-
+    def _code_inputs(self, text, params: "Chat.InferCodeParams"):
+        """Tokenized inputs of the code pass: (ids, attn, tmask, temp, spk)."""
         cfg = self.config.gpt
         prompts = Speaker.decorate_code_prompts(
             list(text), params.prompt, params.txt_smp, params.spk_emb)
@@ -983,6 +1021,14 @@ class Chat:
                 else np.full((cfg.num_vq,), params.temperature, np.float32))
         spk = (Speaker.decode(params.spk_emb)
                if params.spk_emb is not None else None)
+        return ids, attn, tmask, temp, spk
+
+    def _code_requests(self, text, params: "Chat.InferCodeParams",
+                       on_tokens=None, inputs=None):
+        from .engine.batching import EngineRequest
+
+        ids, attn, tmask, temp, spk = (inputs if inputs is not None
+                                       else self._code_inputs(text, params))
         reqs = []
         for b in range(ids.shape[0]):
             n = int(attn[b].sum())
@@ -1000,16 +1046,31 @@ class Chat:
         return reqs
 
     def _infer_code_engine(self, text, params: "Chat.InferCodeParams",
-                           stream: bool = False):
+                           stream: bool = False, inputs=None):
         """Engine-backed code generation (use_vllm analog), incl. streaming:
         slot callbacks accumulate per-request increments and each engine
         chunk yields cumulative partials in the generator's output format."""
         eng = self._engine_for_code()
+        bar = self._progress_bar(params, len(text), "infer_code",
+                                 per_request=True)
+
+        def attach(reqs):
+            if bar is not None:
+                for r in reqs:
+                    r.on_progress = functools.partial(bar.report,
+                                                      r.request_id)
+            return reqs
+
         if not stream:
             from .engine.batching import outputs_to_generation
 
-            outs = eng.generate(self._code_requests(text, params),
-                                context=self.context)
+            try:
+                outs = eng.generate(
+                    attach(self._code_requests(text, params, inputs=inputs)),
+                    context=self.context)
+            finally:
+                if bar is not None:
+                    bar.close()
             # non-streaming outputs keep hiddens device-resident: the
             # batch feeds the device decode path without a host round trip
             yield outputs_to_generation(outs)
@@ -1028,42 +1089,50 @@ class Chat:
                 acc_hid[b].append(np.asarray(new_hid))
             done[b] = done[b] or finished
 
-        reqs = self._code_requests(text, params, on_tokens=on_tokens)
+        reqs = attach(self._code_requests(text, params, on_tokens=on_tokens,
+                                          inputs=inputs))
         index.update({r.request_id: b for b, r in enumerate(reqs)})
         for r in reqs:
             eng.add_request(r)
         Z = np.zeros((0, self.config.gpt.num_vq), np.int32)
         Zh = np.zeros((0, self.config.gpt.hidden_size), np.float32)
-        while eng.has_unfinished():
-            if self.context.get():
-                eng.interrupt()
-                break
-            eng.step()
-            yield GenerationOutputs(
-                ids=[np.concatenate(a) if a else Z for a in acc_ids],
-                hiddens=[np.concatenate(a) if a else Zh for a in acc_hid],
-                finished=np.asarray(done),
-                partial=not all(done))
+        try:
+            while eng.has_unfinished():
+                if self.context.get():
+                    eng.interrupt()
+                    break
+                eng.step()
+                yield GenerationOutputs(
+                    ids=[np.concatenate(a) if a else Z for a in acc_ids],
+                    hiddens=[np.concatenate(a) if a else Zh for a in acc_hid],
+                    finished=np.asarray(done),
+                    partial=not all(done))
+        finally:
+            if bar is not None:
+                bar.close()
 
     def _infer_code(self, text: List[str], stream: bool, return_hidden: bool,
                     params: "Chat.InferCodeParams",
                     stream_batch_override: Optional[int] = None,
                     speculate: bool = False,
                     speculate_from: int = 0):
-        if getattr(self, "use_engine", False):
-            return self._infer_code_engine(text, params, stream=stream)
         cfg = self.config.gpt
-        if isinstance(params.temperature, list):
-            temperature = np.asarray(params.temperature, np.float32)
-        else:
-            temperature = np.full((cfg.num_vq,), params.temperature, np.float32)
-
-        prompts = Speaker.decorate_code_prompts(
-            list(text), params.prompt, params.txt_smp, params.spk_emb)
-        code_prompt = (Speaker.decode_prompt(params.spk_smp)
-                       if params.spk_smp is not None else None)
-        ids, attn, tmask = self.tokenizer.encode(
-            prompts, cfg.num_vq, prompt=code_prompt)
+        inputs = self._code_inputs(text, params)
+        ids, attn, tmask, temperature, spk_vec = inputs
+        if getattr(self, "use_engine", False):
+            eng = self._engine_for_code()
+            if int(attn.sum(1).max()) <= max(eng.ecfg.buckets):
+                return self._infer_code_engine(text, params, stream=stream,
+                                               inputs=inputs)
+            # a spliced clone prompt longer than the engine's prompt
+            # capacity falls back to the one-shot generator, which buckets
+            # arbitrary lengths (mirrors the refine pass's fallback; the
+            # reference accepts prompts up to max_model_len,
+            # velocity/configs.py:377-420)
+            self.logger.info(
+                "prompt length %d exceeds engine capacity %d; using the "
+                "generator path", int(attn.sum(1).max()),
+                max(eng.ecfg.buckets))
 
         req = GenerateRequest(
             ids=ids, attn_mask=attn, text_mask=tmask, infer_text=False,
@@ -1072,8 +1141,7 @@ class Chat:
             top_p=params.top_P, top_k=params.top_K,
             repetition_penalty=params.repetition_penalty,
             max_new=params.max_new_token, min_new=params.min_new_token,
-            spk_vec=(Speaker.decode(params.spk_emb)
-                     if params.spk_emb is not None else None),
+            spk_vec=spk_vec,
             spk_emb_ids=self.tokenizer.spk_emb_ids,
             seed=params.manual_seed, ensure_non_empty=params.ensure_non_empty,
             stream_batch=(stream_batch_override if stream_batch_override
@@ -1082,4 +1150,10 @@ class Chat:
             speculate=speculate,
             speculate_from=speculate_from,
         )
-        return self.generator.generate(req, self.context)
+        bar = self._progress_bar(params, len(text), "infer_code",
+                                 per_request=False)
+        gen = self.generator.generate(req, self.context)
+        if bar is not None:
+            req.on_progress = functools.partial(bar.report, "batch")
+            gen = self._closing_bar(gen, bar)
+        return gen

@@ -181,6 +181,27 @@ def test_use_engine_clone_prompt_capacity(engine_chat):
     assert len(wavs) == 1 and wavs[0].dtype == np.float32
 
 
+def test_use_engine_long_prompt_falls_back_to_generator(engine_chat):
+    """A clone prompt LONGER than the engine's prompt capacity must not
+    raise: the code pass falls back to the generator (which buckets any
+    length), mirroring the refine pass's fallback.  Reference accepts
+    prompts up to max_model_len (velocity/configs.py:377-420)."""
+    from chattts_tpu.models.speaker import Speaker
+
+    cap = max(engine_chat._engine_for_code().ecfg.buckets)
+    codes = np.random.default_rng(1).integers(
+        0, 625, (engine_chat.config.gpt.num_vq, cap + 40))
+    smp = Speaker.encode_prompt(codes)
+    before = engine_chat._code_engine.stats["requests_finished"]
+    wavs = engine_chat.infer(
+        "long clone prompt", skip_refine_text=True, split_text=False,
+        params_infer_code=_code_params(max_new_token=8, spk_smp=smp,
+                                       txt_smp="reference text"))
+    assert len(wavs) == 1 and wavs[0].dtype == np.float32
+    # the engine did NOT serve it
+    assert engine_chat._code_engine.stats["requests_finished"] == before
+
+
 def test_use_engine_interrupt(engine_chat):
     """interrupt() drains the engine mid-stream."""
     gen = engine_chat.infer(
@@ -361,6 +382,26 @@ def test_pipelined_resets_on_empty_retry(chat, monkeypatch):
     scale = max(np.abs(ref).max(), 1e-6)
     np.testing.assert_allclose(got[:, :m] / scale, ref[:, :m] / scale,
                                atol=3e-4)
+
+
+def test_show_tqdm_reports_progress(chat, monkeypatch):
+    """show_tqdm=True drives the per-chunk progress hook (the knob was
+    accepted-but-dead in earlier rounds; reference gpt.py:383-390)."""
+    import chattts_tpu.utils.progress as progress
+
+    calls = []
+
+    class Spy(progress.ProgressBar):
+        def report(self, key, done, total=None):
+            calls.append(int(done))
+            super().report(key, done, total)
+
+    monkeypatch.setattr(progress, "ProgressBar", Spy)
+    chat.infer("progress check", skip_refine_text=True, split_text=False,
+               params_infer_code=_code_params(max_new_token=8,
+                                              min_new_token=8,
+                                              show_tqdm=True))
+    assert calls and max(calls) == 8
 
 
 def test_wire_int16_host_decode_path(tiny_config):
