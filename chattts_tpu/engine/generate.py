@@ -324,6 +324,10 @@ class GenerateRequest:
     # TTFA-critical window) is not queued behind a speculative chunk,
     # while steady-state yields gain the hidden round trip
     speculate_from: int = 0
+    # host progress hook fn(done_steps), called at every chunk sync (the
+    # sync already exists, so reporting is free); the facade wires it to
+    # tqdm for show_tqdm (reference gpt.py:383-390)
+    on_progress: Optional[callable] = None
 
 
 class Generator:
@@ -423,6 +427,8 @@ class Generator:
                 status_np, ids_np = jax.device_get((status, ids_gen))
                 done = int(status_np[0])
                 finished = bool(status_np[1])
+                if req.on_progress is not None:
+                    req.on_progress(done)
                 if req.stream_batch > 0 and not finished and done < req.max_new:
                     yield self._materialize(req, st, status_np, ids_np,
                                             partial=True)
@@ -481,6 +487,8 @@ class Generator:
             s_d, i_d = pending.popleft()
             status_np, ids_np = jax.device_get((s_d, i_d))
             done = int(status_np[0])
+            if req.on_progress is not None:
+                req.on_progress(done)
             if bool(status_np[1]) or context.get():
                 break  # in-flight successors are no-ops; st stays correct
             if done < req.max_new:

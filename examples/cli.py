@@ -43,6 +43,8 @@ def main() -> int:
     ap.add_argument("--min-new", type=int, default=0)
     ap.add_argument("--skip-refine", action="store_true")
     ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--no-progress", action="store_true",
+                    help="disable the tqdm generation progress bar")
     args = ap.parse_args()
 
     chat = Chat(logger=logger)
@@ -60,7 +62,8 @@ def main() -> int:
     params = Chat.InferCodeParams(
         spk_emb=spk, temperature=args.temperature, top_P=args.top_p,
         top_K=args.top_k, max_new_token=args.max_new,
-        min_new_token=args.min_new, manual_seed=args.manual_seed)
+        min_new_token=args.min_new, manual_seed=args.manual_seed,
+        show_tqdm=not args.no_progress)
 
     t0 = time.time()
     if args.stream:
