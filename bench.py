@@ -77,27 +77,41 @@ def main():
         f"rtf={rtf:.2f} steps/s={steps_per_sec:.1f} "
         f"speech tokens/s/chip={steps_per_sec * BATCH * 4:.0f}")
 
-    # streaming time-to-first-audio (single utterance)
-    sp = Chat.InferCodeParams(
+    # streaming time-to-first-audio (single utterance), TWO cadences:
+    #  - "lever": pass_first_n_batches=0, stream_batch=16 - emit as soon as
+    #    the first window's receptive cone completes (the latency floor)
+    #  - "default": the reference's cadence (2 withheld yields of
+    #    stream_batch=24 steps, core.py:204-206/316) - what an unmodified
+    #    caller observes
+    def measure_ttfa(sp):
+        best = float("inf")
+        for attempt in range(6):  # first pass compiles; best-of-5 after
+            # (the shared chip adds tens of ms of jitter)
+            t0 = time.perf_counter()
+            gen = chat.infer("Time to first audio measurement sentence.",
+                             stream=True, skip_refine_text=True,
+                             params_infer_code=sp)
+            ttfa = None
+            for chunk in gen:
+                if chunk.size and ttfa is None:
+                    ttfa = time.perf_counter() - t0
+                if ttfa is not None:
+                    break
+            if attempt:
+                best = min(best, ttfa)
+        return best
+
+    lever = measure_ttfa(Chat.InferCodeParams(
         max_new_token=256, min_new_token=256, manual_seed=3,
         stream_batch=16, pass_first_n_batches=0, stream_speed=12000,
-        show_tqdm=False)
-    best_ttfa = float("inf")
-    for attempt in range(6):  # first pass compiles the streaming graphs;
-        # best-of-3 after that (the shared chip adds tens of ms of jitter)
-        t0 = time.perf_counter()
-        gen = chat.infer("Time to first audio measurement sentence.",
-                         stream=True, skip_refine_text=True,
-                         params_infer_code=sp)
-        ttfa = None
-        for chunk in gen:
-            if chunk.size and ttfa is None:
-                ttfa = time.perf_counter() - t0
-            if ttfa is not None:
-                break
-        if attempt:
-            best_ttfa = min(best_ttfa, ttfa)
-    log(f"streaming TTFA: {best_ttfa * 1e3:.0f} ms (best of 5)")
+        show_tqdm=False))
+    default = measure_ttfa(Chat.InferCodeParams(
+        max_new_token=256, min_new_token=256, manual_seed=3,
+        show_tqdm=False))  # stream_batch=24, pass_first_n_batches=2
+    log(f"streaming TTFA: {lever * 1e3:.0f} ms lever "
+        f"(pass_first_n_batches=0, stream_batch=16, best of 5) / "
+        f"{default * 1e3:.0f} ms default cadence "
+        f"(2 withheld yields of 24 steps, reference semantics)")
     print(json.dumps({
         "metric": "rtf_batch8_e2e",
         "value": round(rtf, 3),

@@ -262,7 +262,7 @@ class Chat:
         logger = self.logger
         for attr in ("dvae_params", "decoder_params", "vocos_params",
                      "embed_params", "gpt_params", "generator", "tokenizer",
-                     "speaker", "_code_engine", "_text_engine"):
+                     "speaker", "_code_engines", "_text_engine"):
             if hasattr(self, attr):
                 delattr(self, attr)
         self.normalizer.destroy()
@@ -494,10 +494,9 @@ class Chat:
                         self.config.gpt.hidden_size,
                         wire_int16=self.config.runtime.wire_int16,
                         ctx=ctx, guard=guard, window=window, first_guard=fg)
-                last = ("dev", result.hiddens_dev,
-                        result.hiddens_dev.shape[1], result.end_dev)
-                chunk = sd.update_dev(result.hiddens_dev,
-                                      result.hiddens_dev.shape[1],
+                last = ("dev", result.hiddens_dev, result.hid_n,
+                        result.end_dev)
+                chunk = sd.update_dev(result.hiddens_dev, result.hid_n,
                                       final=final, end_dev=result.end_dev)
             else:
                 if sd is None:
@@ -950,40 +949,70 @@ class Chat:
             if bar is not None:
                 bar.close()
 
-    def _engine_for_code(self):
-        """Lazily build the continuous-batching engine for code generation.
+    def _code_engine_geometry(self, tier: str):
+        """Static engine geometry for a code-engine tier.
+
+        The engine's decode-step cost scales with slot count and per-slot
+        cache length, so one worst-case geometry taxes every request with
+        the saturated-serving shape.  Two tiers instead (the reference sizes
+        its engine per deployment via EngineArgs, velocity/configs.py:551+):
+
+        * ``"fast"`` - 8 slots x short cache, sized for latency-sensitive
+          and offline work (the facade's typical split-batch workload);
+          per-step cost matches the 8-wide generator path.
+        * ``"capacity"`` - 16 slots x full-length cache, the saturated
+          concurrent-serving spine (PERF.md batch-scaling: B=16 is the
+          throughput sweet spot at ~40k speech tokens/s/chip).
 
         Prompt capacity is sized from the position-embedding budget rather
         than the prefill bucket (a spliced ``spk_smp`` clone prompt can run
         hundreds of tokens); bucket prefills compile lazily on first use.
         """
-        if getattr(self, "_code_engine", None) is None:
-            from .engine.batching import Engine, EngineConfig
+        from .engine.batching import EngineConfig
 
-            rt = self.config.runtime
-            max_new = rt.decode_bucket * 8
-            budget = self.config.gpt.max_position_embeddings - max_new
-            max_prompt = max(64, min(512, (budget // 64) * 64))
-            buckets = tuple(b for b in (64, 128, 256, 512)
-                            if b <= max_prompt) or (max_prompt,)
-            self._code_engine = Engine(
-                self.config.gpt,
-                EngineConfig(
-                    # 16 slots: the fused-step kernel's VMEM budget caps at
-                    # 16, and B=16 measured as the throughput sweet spot
-                    # (PERF.md batch-scaling table: 40k speech tokens/s)
-                    max_num_seqs=16,
-                    max_prompt_len=max_prompt,
-                    max_new_tokens=max_new,
-                    chunk_steps=24,
-                    infer_text=False,
-                    collect_hidden=True,
-                    prompt_buckets=buckets,
-                    preempt_after_chunks=4,
-                ),
+        rt = self.config.runtime
+        if tier == "fast":
+            slots, max_new, prompt_cap = 8, rt.decode_bucket * 2, 256
+        else:
+            slots, max_new, prompt_cap = 16, rt.decode_bucket * 8, 512
+        budget = self.config.gpt.max_position_embeddings - max_new
+        max_prompt = max(64, min(prompt_cap, (budget // 64) * 64))
+        buckets = tuple(b for b in (64, 128, 256, 512)
+                        if b <= max_prompt) or (max_prompt,)
+        return EngineConfig(
+            max_num_seqs=slots,
+            max_prompt_len=max_prompt,
+            max_new_tokens=max_new,
+            chunk_steps=24,
+            infer_text=False,
+            collect_hidden=True,
+            prompt_buckets=buckets,
+            preempt_after_chunks=4,
+        )
+
+    def _engine_for_code(self, tier: str = "capacity"):
+        """Lazily build the continuous-batching code engine for ``tier``."""
+        engines = getattr(self, "_code_engines", None)
+        if engines is None:
+            engines = self._code_engines = {}
+        if tier not in engines:
+            from .engine.batching import Engine
+
+            engines[tier] = Engine(
+                self.config.gpt, self._code_engine_geometry(tier),
                 self.gpt_params, self.embed_params,
                 spk_emb_ids=self.tokenizer.spk_emb_ids)
-        return self._code_engine
+        return engines[tier]
+
+    def _engine_for_code_auto(self, n_requests: int, max_new: int,
+                              prompt_len: int):
+        """Pick the cheapest code-engine tier that fits the workload."""
+        fast = self._code_engine_geometry("fast")
+        if (n_requests <= fast.max_num_seqs
+                and max_new <= fast.max_new_tokens
+                and prompt_len <= max(fast.buckets)):
+            return self._engine_for_code("fast")
+        return self._engine_for_code("capacity")
 
     def _engine_for_text(self):
         """Text-mode engine for the refine pass under ``use_engine``."""
@@ -1046,11 +1075,18 @@ class Chat:
         return reqs
 
     def _infer_code_engine(self, text, params: "Chat.InferCodeParams",
-                           stream: bool = False, inputs=None):
+                           stream: bool = False, inputs=None, engine=None,
+                           device_stream: bool = True):
         """Engine-backed code generation (use_vllm analog), incl. streaming:
         slot callbacks accumulate per-request increments and each engine
-        chunk yields cumulative partials in the generator's output format."""
-        eng = self._engine_for_code()
+        chunk yields cumulative partials in the generator's output format.
+
+        ``device_stream``: streaming requests keep hidden states ON DEVICE
+        (EngineRequest.stream_hiddens_dev) and the partials carry batched
+        ``hiddens_dev``/``end_dev`` - the downstream window vocode then runs
+        on device and only PCM crosses the host link (the generator path's
+        DeviceStreamingDecoder economics, applied to the engine)."""
+        eng = engine if engine is not None else self._engine_for_code()
         bar = self._progress_bar(params, len(text), "infer_code",
                                  per_request=True)
 
@@ -1076,9 +1112,12 @@ class Chat:
             yield outputs_to_generation(outs)
             return
 
+        B = len(text)
+        D = self.config.gpt.hidden_size
         acc_ids: List[List[np.ndarray]] = [[] for _ in text]
         acc_hid: List[List[np.ndarray]] = [[] for _ in text]
-        done = [False] * len(text)
+        cum_dev: List[Optional[jax.Array]] = [None] * B
+        done = [False] * B
         index = {}
 
         def on_tokens(rid, new_ids, new_hid, finished):
@@ -1086,27 +1125,56 @@ class Chat:
             if new_ids is not None:  # None = dropped by interrupt
                 acc_ids[b].append(np.asarray(new_ids))
             if new_hid is not None:
-                acc_hid[b].append(np.asarray(new_hid))
+                if device_stream:
+                    # full (max_new, D) device row; true length = id count
+                    cum_dev[b] = new_hid
+                else:
+                    acc_hid[b].append(np.asarray(new_hid))
             done[b] = done[b] or finished
 
         reqs = attach(self._code_requests(text, params, on_tokens=on_tokens,
                                           inputs=inputs))
+        for r in reqs:
+            r.stream_hiddens_dev = device_stream
         index.update({r.request_id: b for b, r in enumerate(reqs)})
         for r in reqs:
             eng.add_request(r)
         Z = np.zeros((0, self.config.gpt.num_vq), np.int32)
-        Zh = np.zeros((0, self.config.gpt.hidden_size), np.float32)
+        Zh = np.zeros((0, D), np.float32)
+
+        def partial_out():
+            out_ids = [np.concatenate(a) if a else Z for a in acc_ids]
+            fin = np.asarray(done)
+            if device_stream:
+                # batched device partial: stack the FULL fixed-shape
+                # (max_new, D) slot rows on device (one compiled stack and
+                # window-decode shape per engine tier - no per-length
+                # recompiles); ``n_valid`` carries the true max kept count
+                # (host-known from the id counts, no device sync) and rows
+                # beyond a request's own count are masked by end_dev.
+                lens = [sum(a.shape[0] for a in acc) for acc in acc_ids]
+                Tbuf = next((h.shape[0] for h in cum_dev if h is not None),
+                            0)
+                hb = (jnp.stack([
+                    jnp.zeros((Tbuf, D), jnp.float32) if h is None else h
+                    for h in cum_dev]) if Tbuf
+                    else jnp.zeros((B, 0, D), jnp.float32))
+                return GenerationOutputs(
+                    ids=out_ids, hiddens=[], finished=fin,
+                    hiddens_dev=hb, end_dev=jnp.asarray(lens, jnp.int32),
+                    n_valid=max(lens), partial=not all(done))
+            return GenerationOutputs(
+                ids=out_ids,
+                hiddens=[np.concatenate(a) if a else Zh for a in acc_hid],
+                finished=fin, partial=not all(done))
+
         try:
             while eng.has_unfinished():
                 if self.context.get():
                     eng.interrupt()
                     break
                 eng.step()
-                yield GenerationOutputs(
-                    ids=[np.concatenate(a) if a else Z for a in acc_ids],
-                    hiddens=[np.concatenate(a) if a else Zh for a in acc_hid],
-                    finished=np.asarray(done),
-                    partial=not all(done))
+                yield partial_out()
         finally:
             if bar is not None:
                 bar.close()
@@ -1120,10 +1188,14 @@ class Chat:
         inputs = self._code_inputs(text, params)
         ids, attn, tmask, temperature, spk_vec = inputs
         if getattr(self, "use_engine", False):
-            eng = self._engine_for_code()
-            if int(attn.sum(1).max()) <= max(eng.ecfg.buckets):
+            plen = int(attn.sum(1).max())
+            cap = max(self._code_engine_geometry("capacity").buckets)
+            if plen <= cap:
+                eng = self._engine_for_code_auto(
+                    len(text), params.max_new_token, plen)
                 return self._infer_code_engine(text, params, stream=stream,
-                                               inputs=inputs)
+                                               inputs=inputs, engine=eng,
+                                               device_stream=return_hidden)
             # a spliced clone prompt longer than the engine's prompt
             # capacity falls back to the one-shot generator, which buckets
             # arbitrary lengths (mirrors the refine pass's fallback; the
@@ -1131,8 +1203,7 @@ class Chat:
             # velocity/configs.py:377-420)
             self.logger.info(
                 "prompt length %d exceeds engine capacity %d; using the "
-                "generator path", int(attn.sum(1).max()),
-                max(eng.ecfg.buckets))
+                "generator path", plen, cap)
 
         req = GenerateRequest(
             ids=ids, attn_mask=attn, text_mask=tmask, infer_text=False,

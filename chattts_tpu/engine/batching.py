@@ -128,6 +128,14 @@ class EngineRequest:
     ensure_non_empty: bool = True  # retry on immediate EOS (gpt.py:527-570)
     # streaming callback: fn(request_id, new_ids, new_hiddens, finished)
     on_tokens: Optional[Callable] = None
+    # device-resident streaming (the velocity fork's hiddens-in-outputs
+    # purpose, sequence.py:84-88, kept ON DEVICE): ``on_tokens`` receives
+    # the request's FULL cumulative (max_new, D) device hiddens row (rows
+    # beyond the kept count are garbage; track length via the id counts)
+    # instead of a host increment - the consumer vocodes windows on device
+    # and only PCM crosses the host link.  Pins the slot against
+    # preemption-by-recompute (a resume would scatter hiddens to host).
+    stream_hiddens_dev: bool = False
     # host progress hook fn(done_steps), fired from harvest every chunk
     # (rides the existing per-chunk status read; show_tqdm support)
     on_progress: Optional[Callable] = None
@@ -814,6 +822,8 @@ class Engine:
         for s, req in enumerate(self.slots):
             if req is None or finish[s] or self._slot_chunks[s] < pa:
                 continue
+            if req.stream_hiddens_dev:
+                continue  # device-streaming consumers hold slot handles
             gen = int(end_idx[s])
             resume_total = req.ids.shape[0] + int(seq_off[s]) + gen
             if resume_total > max_bucket:
@@ -854,10 +864,11 @@ class Engine:
         # over the host link cost tens of ms each; per-slot reads dominated
         # harvest before this)
         def dev_hiddens_ok(req):
-            # non-streaming, non-resumed requests keep hiddens ON DEVICE
-            # (per-slot copy at finish); streaming and preemption-resumed
-            # ones still need the host window
-            return (self.ecfg.collect_hidden and req.on_tokens is None
+            # non-streaming and device-streaming non-resumed requests keep
+            # hiddens ON DEVICE (per-slot copy at finish); host-streaming
+            # and preemption-resumed ones still need the host window
+            return (self.ecfg.collect_hidden
+                    and (req.on_tokens is None or req.stream_hiddens_dev)
                     and req._resume_hiddens is None)
 
         need_ids = need_hid = 0
@@ -869,7 +880,8 @@ class Engine:
                     and off + step_in[s] > req._emitted):
                 w = int(min(end_idx[s], step_in[s]))
                 need_ids = max(need_ids, w)
-                need_hid = max(need_hid, w)
+                if not req.stream_hiddens_dev:
+                    need_hid = max(need_hid, w)
             if finish[s]:
                 need_ids = max(need_ids, int(end_idx[s]))
                 if not dev_hiddens_ok(req):
@@ -885,17 +897,36 @@ class Engine:
             off = req.resume_len  # tokens generated before this slot tenure
             if req.on_progress is not None:
                 req.on_progress(off + int(step_in[s]))
-            # streaming callback with newly generated tokens (global counts)
+            # streaming callback with newly generated tokens (global counts).
+            # A finishing slot ALWAYS gets its final notification, even when
+            # the chunk added no kept tokens (EOS on the chunk's first step
+            # drops the token: n == emitted) - otherwise a consumer blocked
+            # on finished=True waits forever.
             if (req.on_tokens is not None
                     and off + step_in[s] > req._emitted):
                 n = off + int(min(end_idx[s], step_in[s]))
                 lo = req._emitted
-                if n > lo:
-                    new_ids = ids_np[s, lo - off : n - off]
-                    new_hid = (hid_np[s, lo - off : n - off]
-                               if self.ecfg.collect_hidden else None)
-                    req.on_tokens(req.request_id, new_ids, new_hid,
-                                  bool(finish[s]))
+                fin = bool(finish[s])
+                if n > lo or fin:
+                    new_ids = ids_np[s, lo - off : n - off] if n > lo else (
+                        np.zeros((0, st.ids.shape[-1]), np.int32))
+                    if not self.ecfg.collect_hidden:
+                        new_hid = None
+                    elif req.stream_hiddens_dev:
+                        # FULL slot row (max_new, D), a fixed-shape device
+                        # copy: materializes its own buffer before any later
+                        # chunk/prefill rewrites the slot's rows (in-order
+                        # device execution), and the single compiled shape
+                        # avoids a per-length eager-dispatch compile every
+                        # chunk.  Rows >= the request's kept count hold
+                        # garbage; consumers track the true length from the
+                        # id counts and mask beyond it.
+                        new_hid = st.hiddens[s]
+                    else:
+                        new_hid = (hid_np[s, lo - off : n - off] if n > lo
+                                   else np.zeros((0, st.hiddens.shape[-1]),
+                                                 np.float32))
+                    req.on_tokens(req.request_id, new_ids, new_hid, fin)
                     req._emitted = n
             if not finish[s]:
                 continue

@@ -72,10 +72,22 @@ class GenerationOutputs:
     finished: np.ndarray        # (B,) bool
     hiddens_dev: Optional[jax.Array] = None  # (B, n_max, D) on device
     end_dev: Optional[jax.Array] = None      # (B,) int32 kept lengths
+    # valid prefix length of hiddens_dev when the buffer is LARGER than the
+    # kept max (engine streaming hands fixed-shape full slot rows so the
+    # window decode compiles once; rows >= n_valid are garbage)
+    n_valid: Optional[int] = None
     # True for streaming partials; False for an attempt's final output.
     # A yield AFTER a final one means the empty-generation retry restarted
     # the attempt - streaming consumers must reset their accumulation.
     partial: bool = False
+
+    @property
+    def hid_n(self) -> int:
+        """Valid hidden positions in ``hiddens_dev`` (buffer may be larger)."""
+        if self.hiddens_dev is None:
+            return 0
+        return (self.n_valid if self.n_valid is not None
+                else self.hiddens_dev.shape[1])
 
     def materialize_hiddens(self) -> List[np.ndarray]:
         """Per-seq host copies of the hiddens (device path included)."""

@@ -27,7 +27,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from .core import Chat
-from .engine.streaming import StreamingDecoder, plan_windows
+from .engine.streaming import plan_windows
 from .utils.logger import get_logger
 
 logger = get_logger("chattts.serving")
@@ -64,8 +64,7 @@ class TTSService:
         c = self.chat
         if getattr(c, "_text_engine", None) is not None:
             engs.append(c._text_engine)
-        if getattr(c, "_code_engine", None) is not None:
-            engs.append(c._code_engine)
+        engs.extend(getattr(c, "_code_engines", {}).values())
         return engs
 
     def _drive(self):
@@ -87,7 +86,7 @@ class TTSService:
                         for rid in list(self._pending):
                             self._pending.pop(rid).put(None)
                         continue
-                    if eng is getattr(self.chat, "_code_engine", None):
+                    if not eng.ecfg.infer_text:
                         self.max_concurrent_slots = max(
                             self.max_concurrent_slots,
                             eng.stats.get("peak_slots", 0))
@@ -209,30 +208,52 @@ class TTSService:
     def synthesize_stream(self, text: str,
                           params_code: Optional[Chat.InferCodeParams] = None,
                           ) -> Iterator[np.ndarray]:
-        """Streaming synthesis; chunks arrive as the shared engine decodes."""
+        """Streaming synthesis; chunks arrive as the shared engine decodes.
+
+        Device-resident end to end: the engine hands CUMULATIVE device
+        slices of the slot's hidden states (stream_hiddens_dev), the
+        window vocode slices/pads/decodes on device, and only finished PCM
+        crosses the host link - no per-chunk hidden download or per-window
+        re-upload (the velocity fork keeps hiddens in outputs for exactly
+        this consumer, sequence.py:84-88)."""
+        from .engine.streaming import DeviceStreamingDecoder
+
         c = self.chat
         params = params_code or Chat.InferCodeParams()
         inc_q: queue.Queue = queue.Queue()
+        count = [0]
 
         def on_tokens(rid, new_ids, new_hid, finished):
-            inc_q.put((new_hid, finished))
+            # new_hid is the FULL (max_new, D) device hiddens row; the true
+            # kept length rides the id counts (no device sync needed)
+            if new_ids is not None:
+                count[0] += new_ids.shape[0]
+            inc_q.put((new_hid, count[0], finished))
 
         reqs = self._code_reqs([text], params, on_tokens=on_tokens)
+        for r in reqs:
+            r.stream_hiddens_dev = True
         self._submit(c._engine_for_code(), reqs)
 
         ctx, guard, window = plan_windows(
             c.config.decoder.stack, c.config.vocos, params.stream_batch)
         fg = c.config.runtime.stream_first_guard
-        sd = StreamingDecoder(
-            c._stream_decode_fn(True), 1, c.config.gpt.hidden_size,
+        sd = DeviceStreamingDecoder(
+            c._device_window_fn(window), 1, c.config.gpt.hidden_size,
+            wire_int16=c.config.runtime.wire_int16,
             ctx=ctx, guard=guard, window=window,
             first_guard=None if fg is None else min(fg, guard))
-        hid = np.zeros((0, c.config.gpt.hidden_size), np.float32)
+        cum = None
+        n = 0
         finished = False
         while not finished:
-            new_hid, finished = inc_q.get()
-            if new_hid is not None and new_hid.shape[0]:
-                hid = np.concatenate([hid, new_hid])
-            out = sd.update([hid], final=finished)
+            new_hid, n, finished = inc_q.get()
+            if new_hid is not None:
+                cum = new_hid  # full (max_new, D) device row
+            if cum is None or n == 0:
+                continue
+            # full fixed-shape row: the window jit compiles once; rows
+            # beyond n are garbage but every decode window ends at <= n
+            out = sd.update_dev(cum[None], n, final=finished)
             if out.size:
                 yield out

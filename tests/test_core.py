@@ -147,7 +147,12 @@ def test_use_engine_streaming(engine_chat):
     chunks = list(gen)
     assert len(chunks) >= 1
     assert sum(c.shape[1] for c in chunks) > 0
-    assert engine_chat._code_engine.stats["requests_finished"] >= 1
+    done = sum(e.stats["requests_finished"]
+               for e in engine_chat._code_engines.values())
+    assert done >= 1
+    # a small-batch short request lands in the latency ("fast") tier, not
+    # the 16-slot capacity spine
+    assert "fast" in engine_chat._code_engines
 
 
 def test_use_engine_refine_pass(engine_chat):
@@ -192,14 +197,18 @@ def test_use_engine_long_prompt_falls_back_to_generator(engine_chat):
     codes = np.random.default_rng(1).integers(
         0, 625, (engine_chat.config.gpt.num_vq, cap + 40))
     smp = Speaker.encode_prompt(codes)
-    before = engine_chat._code_engine.stats["requests_finished"]
+    def _done():
+        return sum(e.stats["requests_finished"]
+                   for e in engine_chat._code_engines.values())
+
+    before = _done()
     wavs = engine_chat.infer(
         "long clone prompt", skip_refine_text=True, split_text=False,
         params_infer_code=_code_params(max_new_token=8, spk_smp=smp,
                                        txt_smp="reference text"))
     assert len(wavs) == 1 and wavs[0].dtype == np.float32
-    # the engine did NOT serve it
-    assert engine_chat._code_engine.stats["requests_finished"] == before
+    # no engine tier served it
+    assert _done() == before
 
 
 def test_use_engine_interrupt(engine_chat):
@@ -212,7 +221,8 @@ def test_use_engine_interrupt(engine_chat):
     next(gen)
     engine_chat.interrupt()
     list(gen)  # must terminate promptly
-    assert not engine_chat._code_engine.has_unfinished()
+    assert not any(e.has_unfinished()
+                   for e in engine_chat._code_engines.values())
     engine_chat.context.set(False)
 
 
@@ -423,3 +433,33 @@ def test_wire_int16_host_decode_path(tiny_config):
     assert len(got) == len(ref) == 1
     n = min(got[0].shape[0], ref[0].shape[0])
     np.testing.assert_allclose(got[0][:n], ref[0][:n], atol=1.5 / 32767.0)
+
+
+def test_use_engine_streaming_device_matches_host(engine_chat, monkeypatch):
+    """Engine streaming keeps hiddens device-resident by default; its audio
+    must match the host-increment path (same seed => same tokens; window
+    vocode differs only by float reassociation)."""
+    from chattts_tpu.core import Chat
+
+    def run():
+        gen = engine_chat.infer(
+            "device resident engine streaming", stream=True,
+            skip_refine_text=True,
+            params_infer_code=_code_params(
+                max_new_token=24, min_new_token=24, manual_seed=11,
+                stream_batch=4, pass_first_n_batches=0, stream_speed=512))
+        chunks = list(gen)
+        return np.concatenate([c for c in chunks if c.size], axis=1)
+
+    dev = run()
+
+    orig = Chat._infer_code_engine
+
+    def host_path(self, *a, **kw):
+        kw["device_stream"] = False
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Chat, "_infer_code_engine", host_path)
+    host = run()
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, atol=2e-4)

@@ -519,3 +519,127 @@ def test_outputs_to_generation_device_batch(tiny_config, params):
                on_tokens=lambda rid, ids, hid, fin: got.append(hid))
     outs2 = eng2.generate([req])
     assert outs2[0].hiddens_dev is None and outs2[0].hiddens is not None
+
+def test_device_streaming_hiddens(tiny_config, params):
+    """stream_hiddens_dev: on_tokens receives the FULL (max_new, D) device
+    hiddens row (cumulative, fixed shape); its kept prefix bit-matches the
+    host streaming increments, and the finished output still carries
+    device-resident hiddens (VERDICT r2 #2: engine streaming without the
+    per-chunk host round trip)."""
+    cfg = tiny_config.gpt
+    inc = []
+    eng1 = _mk_engine(tiny_config, params, chunk_steps=2)
+    r1 = _req(cfg, "h0", seed=77, min_new=5, max_new=8,
+              on_tokens=lambda rid, ids, hid, fin: inc.append(hid))
+    out1 = eng1.generate([r1])
+
+    eng2 = _mk_engine(tiny_config, params, chunk_steps=2)
+    seen = {"dev": False, "rows": None}
+
+    def on2(rid, ids, hid, fin):
+        if hid is not None:
+            seen["dev"] = isinstance(hid, jax.Array)
+            seen["rows"] = hid
+
+    r2 = _req(cfg, "h0", seed=77, min_new=5, max_new=8, on_tokens=on2,
+              stream_hiddens_dev=True)
+    out2 = eng2.generate([r2])
+
+    np.testing.assert_array_equal(out1[0].ids, out2[0].ids)
+    n = out2[0].ids.shape[0]
+    assert seen["dev"], "hiddens crossed to host"
+    assert seen["rows"].shape[0] == eng2.ecfg.max_new_tokens  # full row
+    host_hid = np.concatenate([h for h in inc if h is not None])
+    np.testing.assert_array_equal(np.asarray(seen["rows"])[:n], host_hid)
+    # finish keeps device-resident hiddens despite the streaming callback
+    assert out2[0].hiddens_dev is not None
+    np.testing.assert_array_equal(np.asarray(out2[0].hiddens_dev),
+                                  out1[0].host_hiddens())
+
+
+def test_device_streaming_pins_slot(tiny_config, params):
+    """Preemption-by-recompute must skip device-streaming slots (their
+    consumers hold device row handles; a recompute would scatter hiddens
+    through the host)."""
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params, max_num_seqs=1, chunk_steps=2,
+                     preempt_after_chunks=1, max_new_tokens=16)
+    long = _req(cfg, "pin", seed=3, min_new=14, max_new=14,
+                on_tokens=lambda *a: None, stream_hiddens_dev=True)
+    short = _req(cfg, "short", seed=4, min_new=2, max_new=2)
+    eng.add_request(long)
+    eng.add_request(short)
+    outs = []
+    while eng.has_unfinished():
+        outs.extend(eng.step())
+    assert eng.stats.get("preemptions", 0) == 0
+    by_id = {o.request_id: o for o in outs}
+    assert by_id["pin"].ids.shape[0] == 14
+    assert by_id["short"].ids.shape[0] == 2
+
+
+def test_final_notification_on_chunk_boundary_eos(tiny_config, params):
+    """EOS sampled on a chunk's FIRST step adds no kept tokens (the EOS
+    token is dropped); the streaming consumer must still get its
+    finished=True notification - a waiter blocked on it would otherwise
+    hang forever (e.g. TTSService.synthesize_stream)."""
+    cfg = tiny_config.gpt
+    CH = 4
+    # probe with EOS disabled (id outside the vocab never sampled;
+    # min_new=0 keeps sampling identical between probe and real run)
+    probe_eng = _mk_engine(tiny_config, params, chunk_steps=CH,
+                           max_new_tokens=16)
+    found = None
+    for seed in range(8):
+        probe = probe_eng.generate([_req(
+            cfg, f"probe{seed}", seed=seed, min_new=0, max_new=16,
+            eos_token=cfg.num_audio_tokens + 9)])[0]
+        toks = probe.ids  # (16, num_vq), length-finished
+        if toks.shape[0] < 16:
+            continue
+        for i in (CH, 2 * CH):
+            for v in toks[i]:
+                if int(v) not in toks[:i]:
+                    found = (seed, i, int(v))
+                    break
+            if found:
+                break
+        if found:
+            break
+    assert found is not None, "no chunk-boundary EOS candidate"
+    seed, i, v = found
+    eng = _mk_engine(tiny_config, params, chunk_steps=CH, max_new_tokens=16)
+    finals = []
+    req = _req(cfg, f"probe{seed}", seed=seed, min_new=0, max_new=16,
+               eos_token=v,
+               on_tokens=lambda rid, ids, hid, fin: finals.append(
+                   (0 if ids is None else ids.shape[0], fin)))
+    out = eng.generate([req])[0]
+    assert out.finish_reason == "eos"
+    assert out.ids.shape[0] == i  # EOS right at the chunk boundary
+    assert finals and finals[-1][1] is True
+    assert sum(n for n, _ in finals) == i
+
+
+def test_service_synthesize_stream_device(tiny_config):
+    """TTSService.synthesize_stream rides the device-resident engine path:
+    deterministic for a seed, and the hiddens handed to the callback never
+    materialize on host inside the service."""
+    from chattts_tpu.core import Chat
+    from chattts_tpu.serving import TTSService
+
+    chat = Chat(config=tiny_config)
+    chat.load(source="random", seed=0, use_engine=True)
+    svc = TTSService(chat)
+    try:
+        p = Chat.InferCodeParams(max_new_token=24, min_new_token=24,
+                                 manual_seed=9, stream_batch=4)
+        ca = list(svc.synthesize_stream("stream me", p))
+        cb = list(svc.synthesize_stream("stream me", p))
+        assert all(c.ndim == 2 and c.shape[0] == 1 for c in ca)  # (1, n)
+        a = np.concatenate(ca, axis=1)
+        b = np.concatenate(cb, axis=1)
+        assert a.dtype == np.float32 and a.size > 0
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    finally:
+        svc.close()

@@ -68,6 +68,13 @@ def test_residual_fsq_pinned_golden_vectors():
     written separately from chattts_tpu.models.gfsq - and are pinned here as
     literals so any drift in bound/round/packing semantics fails loudly.
     Reference: ChatTTS/model/dvae.py:69-128 (GroupedResidualFSQ usage).
+
+    PROVENANCE CAVEAT: both implementations were written by the same
+    author from the same reading of the algorithm; this proves
+    self-consistency, not equivalence with vector_quantize_pytorch (not
+    installable in this environment).  The first true external anchor is
+    tests/test_real_assets.py::test_real_assets_gfsq_round_trip, which
+    runs the day a real asset tree is present (see README "Tests").
     """
     z = np.array([[-2.1357, 1.8956, -1.306, -0.3888],
                   [-0.113, -1.1113, -2.0517, 0.9733],
