@@ -161,11 +161,24 @@ class EngineOutput:
     # device-resident (T, D) hiddens: non-streaming requests keep their
     # hiddens ON DEVICE (the only consumer is the jitted mel decoder, and
     # a host round trip of (T, 768) f32 costs more than the decode);
-    # ``host_hiddens()`` materializes on demand
+    # ``dev_hiddens()``/``host_hiddens()`` materialize on demand
     hiddens_dev: Optional[jax.Array] = None
+    # shared-batch reference: harvest gathers ALL slots finishing in one
+    # chunk with a SINGLE device op (per-slot eager slices each cost a
+    # dispatch round trip); this row view materializes lazily
+    _hb: Optional[jax.Array] = None   # (W, max_new, D) shared gather
+    _hb_row: int = 0
+    _hb_n: int = 0
+
+    def dev_hiddens(self) -> Optional[jax.Array]:
+        """Per-request (T, D) device hiddens (materializes the shared-batch
+        row on first access)."""
+        if self.hiddens_dev is None and self._hb is not None:
+            self.hiddens_dev = self._hb[self._hb_row, : self._hb_n]
+        return self.hiddens_dev
 
     def host_hiddens(self) -> Optional[np.ndarray]:
-        if self.hiddens is None and self.hiddens_dev is not None:
+        if self.hiddens is None and self.dev_hiddens() is not None:
             self.hiddens = np.asarray(self.hiddens_dev)
         return self.hiddens
 
@@ -175,17 +188,34 @@ def outputs_to_generation(outs: List["EngineOutput"]):
 
     When every output kept its hiddens device-resident, the batch stays on
     device (hiddens_dev + end_dev) and feeds the device decode path
-    directly - no host round trip of the hidden states."""
+    directly - no host round trip of the hidden states.  Outputs that share
+    one harvest gather reuse it: the whole batch costs ONE device slice (or
+    one take + slice when the order differs) instead of a pad+stack per
+    output."""
     from .generate import GenerationOutputs
 
     finished = np.asarray([o.finish_reason == "eos" for o in outs])
-    if outs and all(o.hiddens_dev is not None for o in outs):
-        lens = [o.hiddens_dev.shape[0] for o in outs]
+    if outs and all(o.hiddens_dev is not None or o._hb is not None
+                    for o in outs):
+        lens = [o._hb_n if o.hiddens_dev is None else o.hiddens_dev.shape[0]
+                for o in outs]
         n_max = max(lens)
         if n_max:
+            hb0 = outs[0]._hb
+            if hb0 is not None and all(o._hb is hb0 for o in outs):
+                rows = [o._hb_row for o in outs]
+                hb = (hb0 if rows == list(range(hb0.shape[0]))
+                      else jnp.take(hb0, jnp.asarray(rows), axis=0))
+                if hb.shape[1] != n_max:
+                    hb = hb[:, :n_max]
+                # rows beyond a request's own length hold garbage from the
+                # generation buffer; end_dev masks them in the decode
+                return GenerationOutputs(
+                    ids=[o.ids for o in outs], hiddens=[], finished=finished,
+                    hiddens_dev=hb, end_dev=jnp.asarray(lens, jnp.int32))
             hb = jnp.stack([
-                jnp.pad(o.hiddens_dev,
-                        ((0, n_max - o.hiddens_dev.shape[0]), (0, 0)))
+                jnp.pad(o.dev_hiddens(),
+                        ((0, n_max - o.dev_hiddens().shape[0]), (0, 0)))
                 for o in outs])
             return GenerationOutputs(
                 ids=[o.ids for o in outs], hiddens=[], finished=finished,
@@ -307,85 +337,96 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
     max_penalized = (cfg.num_text_tokens if infer_text
                      else cfg.num_audio_tokens - 1)
 
-    def make_prefill(Tpb: int):
-        """Prefill for a prompt bucket of Tpb positions: the prompt occupies
-        cache slots [Tp - Tpb, Tp); everything below stays padding."""
+    def make_prefill(Tpb: int, W: int):
+        """Wave prefill: W prompts of bucket Tpb in ONE jitted call.
+
+        The prompt occupies cache slots [Tp - Tpb, Tp); everything below
+        stays padding.  The host packs the whole admission wave into FIVE
+        uploads (slots / tok / spk / scal / keys) and dispatches once -
+        per-request dispatches cost a host-link round trip each (~tens of
+        ms over this tunnel), which dominated admission before batching.
+        Waves smaller than W pad by REPEATING row 0 (identical values
+        written to the same slot index are order-independent).
+
+        ``tok`` (W, Tpb, num_vq + 2) int32 = [ids | attn | tmask],
+        ``spk`` (W, D), ``scal`` (W, 9 + num_vq) f32 = [spk_emb_ids, top_p,
+        top_k, rep, min_new, max_new, eos, seq_off, has_spk, temp...],
+        ``keys`` (W, 2) uint32, ``slots`` (W,) int32 target slot per row.
+        """
         off = Tp - Tpb
+        L = cfg.num_hidden_layers
 
-        def prefill_slot(gp, ep, packed, st: SlotState, slot, tok, spk_vec,
-                         scal, key) -> SlotState:
-            """One slot's prefill.
-
-            The host packs everything into FOUR arrays per admission wave
-            (uploads over the host link dominate admission cost otherwise):
-            ``tok`` (Tpb, num_vq + 2) int32 = [ids | attn | tmask],
-            ``spk_vec`` (D,), ``scal`` (9 + num_vq,) f32 =
-            [spk_emb_ids, top_p, top_k, rep, min_new, max_new, eos,
-            seq_off, has_spk, temp...], ``key`` (2,) uint32.
-            """
+        def prefill_wave(gp, ep, packed, st: SlotState, slots, tok, spk,
+                         scal, keys) -> SlotState:
             nvq = cfg.num_vq
-            ids = tok[None, :, :nvq]
-            attn = tok[None, :, nvq] != 0
-            tmask = tok[None, :, nvq + 1] != 0
-            (spk_emb_ids, top_p, top_k, rep, min_new, max_new, eos,
-             seq_off) = (scal[0].astype(jnp.int32), scal[1],
-                         scal[2].astype(jnp.int32), scal[3],
-                         scal[4].astype(jnp.int32), scal[5].astype(jnp.int32),
-                         scal[6].astype(jnp.int32), scal[7].astype(jnp.int32))
-            has_spk = scal[8]
-            temp = scal[9:9 + nvq]
+            ids = tok[:, :, :nvq]
+            attn = tok[:, :, nvq] != 0
+            tmask = tok[:, :, nvq + 1] != 0
+            spk_emb_ids = scal[:, 0].astype(jnp.int32)
+            top_p = scal[:, 1]
+            top_k = scal[:, 2].astype(jnp.int32)
+            rep = scal[:, 3]
+            min_new = scal[:, 4].astype(jnp.int32)
+            max_new = scal[:, 5].astype(jnp.int32)
+            eos = scal[:, 6].astype(jnp.int32)
+            seq_off = scal[:, 7].astype(jnp.int32)
+            has_spk = scal[:, 8]
+            temp = scal[:, 9:9 + nvq]
             emb = embed_mod.embed_prompt(ep, ids, tmask)
-            n = spk_vec / jnp.maximum(jnp.linalg.norm(spk_vec), 1e-12)
-            cond = ((ids[..., 0] == spk_emb_ids) & (has_spk > 0))[..., None]
-            emb = jnp.where(cond, n[None, None, :].astype(emb.dtype), emb)
+            nvec = spk / jnp.maximum(
+                jnp.linalg.norm(spk, axis=-1, keepdims=True), 1e-12)
+            cond = ((ids[..., 0] == spk_emb_ids[:, None])
+                    & (has_spk[:, None] > 0))[..., None]
+            emb = jnp.where(cond, nvec[:, None, :].astype(emb.dtype), emb)
             positions = jnp.maximum(
                 jnp.cumsum(attn.astype(jnp.int32), axis=1) - 1, 0)
-            mini_cache = KVCache.create(cfg, 1, Tpb)
+            mini_cache = KVCache.create(cfg, W, Tpb)
             hidden_all, mini_cache = llama.prefill(
                 gp, emb, attn, positions, mini_cache, cfg)
 
             if fused:
                 kc, vc = st.cache
-                for li in range(cfg.num_hidden_layers):
-                    mk = mini_cache.k[li].reshape(1, 1, Tpb, HD)
-                    mv = mini_cache.v[li].reshape(1, 1, Tpb, HD)
-                    kc = lax.dynamic_update_slice(kc, mk, (li, slot, off, 0))
-                    vc = lax.dynamic_update_slice(vc, mv, (li, slot, off, 0))
+                # a single advanced index keeps its axis IN PLACE, so the
+                # scatter value is (L, W, Tpb, HD)
+                mk = jnp.stack(mini_cache.k, axis=0).reshape(L, W, Tpb, HD)
+                mv = jnp.stack(mini_cache.v, axis=0).reshape(L, W, Tpb, HD)
+                kc = kc.at[:, slots, off:off + Tpb].set(mk)
+                vc = vc.at[:, slots, off:off + Tpb].set(mv)
                 cache = (kc, vc)
             else:
                 cache = KVCache(
-                    tuple(lax.dynamic_update_slice(ck, mk, (slot, off, 0, 0))
+                    tuple(ck.at[slots, off:off + Tpb].set(mk)
                           for ck, mk in zip(st.cache.k, mini_cache.k)),
-                    tuple(lax.dynamic_update_slice(cv, mv, (slot, off, 0, 0))
+                    tuple(cv.at[slots, off:off + Tpb].set(mv)
                           for cv, mv in zip(st.cache.v, mini_cache.v)),
                 )
             ids_pad = jnp.pad(ids, ((0, 0), (off, Tc - Tp), (0, 0)))
             kv_pad = jnp.pad(attn, ((0, 0), (off, Tc - Tp)))
             return st._replace(
                 cache=cache,
-                ids=lax.dynamic_update_slice(st.ids, ids_pad, (slot, 0, 0)),
-                key_valid=lax.dynamic_update_slice(
-                    st.key_valid, kv_pad, (slot, 0)),
-                hidden=st.hidden.at[slot].set(hidden_all[0, -1]),
-                cur=st.cur.at[slot].set(Tp),
-                pos_next=st.pos_next.at[slot].set(
-                    attn.astype(jnp.int32).sum()),
-                step_in=st.step_in.at[slot].set(0),
-                active=st.active.at[slot].set(True),
-                finish=st.finish.at[slot].set(False),
-                end_idx=st.end_idx.at[slot].set(0),
-                temperature=st.temperature.at[slot].set(temp),
-                top_p=st.top_p.at[slot].set(top_p),
-                top_k=st.top_k.at[slot].set(top_k),
-                rep_penalty=st.rep_penalty.at[slot].set(rep),
-                min_new=st.min_new.at[slot].set(min_new),
-                max_new=st.max_new.at[slot].set(max_new),
-                eos=st.eos.at[slot].set(eos),
-                seq_off=st.seq_off.at[slot].set(seq_off),
-                rng=st.rng.at[slot].set(key),
+                ids=st.ids.at[slots].set(ids_pad),
+                key_valid=st.key_valid.at[slots].set(kv_pad),
+                hidden=st.hidden.at[slots].set(
+                    hidden_all[:, -1].astype(st.hidden.dtype)),
+                cur=st.cur.at[slots].set(Tp),
+                pos_next=st.pos_next.at[slots].set(
+                    attn.astype(jnp.int32).sum(axis=1)),
+                step_in=st.step_in.at[slots].set(0),
+                active=st.active.at[slots].set(True),
+                finish=st.finish.at[slots].set(False),
+                end_idx=st.end_idx.at[slots].set(0),
+                temperature=st.temperature.at[slots].set(temp),
+                top_p=st.top_p.at[slots].set(top_p),
+                top_k=st.top_k.at[slots].set(top_k),
+                rep_penalty=st.rep_penalty.at[slots].set(rep),
+                min_new=st.min_new.at[slots].set(min_new),
+                max_new=st.max_new.at[slots].set(max_new),
+                eos=st.eos.at[slots].set(eos),
+                seq_off=st.seq_off.at[slots].set(seq_off),
+                rng=st.rng.at[slots].set(keys),
             )
 
-        return jax.jit(prefill_slot, donate_argnums=(3,))
+        return jax.jit(prefill_wave, donate_argnums=(3,))
 
     def step_body(carry):
         st, gp, ep, packed, _ = carry
@@ -497,24 +538,40 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
         return (st, gp, ep, packed, carry[4] + 1)
 
     def decode_chunk(gp, ep, packed, st: SlotState, n_steps):
+        cur0 = st.cur  # per-slot write position at chunk entry
+
         def cond(carry):
             s = carry[0]
             return (carry[4] < n_steps) & jnp.any(s.active & ~s.finish)
 
         st, _, _, _, ran = lax.while_loop(
             cond, step_body, (st, gp, ep, packed, jnp.int32(0)))
-        # all per-slot scheduling scalars in ONE array: the host reads slot
-        # status with a single device->host transfer per chunk (the link
-        # round trip dominates engine overhead otherwise).  Row 6 carries the
-        # number of decode steps actually executed (the loop exits early once
-        # every slot finishes, so this can be < n_steps).
+        # ALL per-chunk host data rides ONE device->host transfer (the link
+        # round trip dominates engine overhead otherwise): the per-slot
+        # scheduling scalars AND the ids generated THIS chunk.  Shipping the
+        # chunk's ids here (instead of slicing live state at harvest) means
+        # harvest never blocks on in-flight speculative chunks - the status
+        # read of chunk k stays consistent even while chunk k+1 computes.
+        # Scalar row 6 carries the number of decode steps actually executed
+        # (the loop exits early once every slot finishes).
         status = jnp.stack([
             st.finish.astype(jnp.int32), st.active.astype(jnp.int32),
             st.end_idx, st.step_in, st.max_new, st.seq_off,
             jnp.full_like(st.end_idx, ran)])
-        return st, status
+        Cmax = ecfg.chunk_steps_max
+        gather_pos = jnp.clip(
+            cur0[:, None] + jnp.arange(Cmax)[None, :], 0, Tc - 1)
+        ids_new = jnp.take_along_axis(
+            st.ids, gather_pos[:, :, None], axis=1)  # (S, Cmax, num_vq)
+        flat = jnp.concatenate(
+            [status.reshape(-1), ids_new.reshape(-1)])
+        return st, flat
 
-    prefill_jits = {b: make_prefill(b) for b in ecfg.buckets}
+    # wave-size buckets (powers of two up to the slot count); jit wrappers
+    # are lazy - only (bucket, wave) shapes actually admitted ever compile
+    waves = tuple(w for w in (1, 2, 4, 8, 16, 32, 64) if w < S) + (S,)
+    prefill_jits = {(b, w): make_prefill(b, w)
+                    for b in ecfg.buckets for w in waves}
     chunk_jit = jax.jit(decode_chunk, donate_argnums=(3,))
     return prefill_jits, chunk_jit
 
@@ -582,11 +639,19 @@ class Engine:
         self.spk_emb_ids = spk_emb_ids
         self._prefill, self._chunk = _build_kernels(cfg, ecfg,
                                                      fused=self._fused)
+        self._wave_sizes = sorted({w for _, w in self._prefill})
         self.waiting: collections.deque[EngineRequest] = collections.deque()
         self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs
         self._slot_chunks = [0] * ecfg.max_num_seqs
-        self._status = None  # packed per-slot scalars from the last chunk
-        self._spec = None    # status of a speculative (dispatch-ahead) chunk
+        self._status = None  # per-slot scalars from the last processed chunk
+        self._spec = None    # packed device result of a dispatch-ahead chunk
+        # host-side per-slot generated ids, accumulated from the per-chunk
+        # deltas that ride the status transfer; harvest and preemption read
+        # these instead of slicing live device state (which would block on
+        # in-flight speculative chunks)
+        Z = np.zeros((0, cfg.num_vq), np.int32)
+        self._acc_ids: List[np.ndarray] = [Z] * ecfg.max_num_seqs
+        self._entry_steps = [0] * ecfg.max_num_seqs
         self._host_rng = np.random.default_rng(seed ^ 0x5EED)
         # stats (reference logs every 5 s, llm_engine.py:667-740)
         self.stats = {"tokens_generated": 0, "requests_finished": 0,
@@ -696,18 +761,38 @@ class Engine:
             self._spec = None
         # dispatch-ahead: enqueue chunk k+1 BEFORE blocking on chunk k's
         # status so the read's host-link round trip (~25 ms here) hides
-        # behind device compute.  Safe exactly when the scheduler is idle:
-        # no admission/preemption writes are pending, and a speculative
-        # chunk dispatched after every slot finished is a no-op (the
-        # jitted loop's cond fails), so ids/end_idx/hiddens in the
-        # successor state stay correct for harvest.  A request arriving
-        # mid-chunk waits at most one extra chunk for admission.
-        if (self.ecfg.speculate and self._scheduler_idle()
+        # behind device compute.  Safe whenever no admission is pending:
+        # chunk k's status AND its generated ids ride the same packed
+        # transfer (no live-state reads), device writes are append-only
+        # prefixes, and a speculative chunk dispatched after every slot
+        # finished is a no-op (the jitted loop's cond fails).  A request
+        # arriving mid-chunk waits at most one extra chunk for admission;
+        # streaming consumers benefit the most - their per-chunk status
+        # read hides behind the next chunk's compute.
+        if (self.ecfg.speculate and not self.waiting
                 and any(r is not None for r in self.slots)):
             self._spec = self._dispatch_chunk(long_chunk)
-        self._status = np.asarray(status)  # ONE host read per chunk
+        self._ingest(np.asarray(status))  # ONE host read per chunk
         self.stats["steps"] += int(self._status[6, 0])
         return self._harvest()
+
+    def _ingest(self, raw: np.ndarray) -> None:
+        """Unpack a chunk's packed transfer: scheduling scalars + the ids
+        generated in that chunk, appended to the per-slot host buffers."""
+        S = self.ecfg.max_num_seqs
+        Cmax = self.ecfg.chunk_steps_max
+        nvq = self.cfg.num_vq
+        self._status = raw[: 7 * S].reshape(7, S)
+        deltas = raw[7 * S :].reshape(S, Cmax, nvq)
+        step_in = self._status[3]
+        for s, r in enumerate(self.slots):
+            if r is None:
+                continue
+            ran = int(step_in[s]) - self._entry_steps[s]
+            if ran > 0:
+                self._acc_ids[s] = np.concatenate(
+                    [self._acc_ids[s], deltas[s, :ran]])
+                self._entry_steps[s] = int(step_in[s])
 
     def generate(self, requests: List[EngineRequest],
                  context=None) -> List[EngineOutput]:
@@ -742,11 +827,13 @@ class Engine:
     def _admit(self):
         """Admit waiting requests into free slots.
 
-        The whole wave's inputs pack into FOUR host->device uploads per
-        prompt bucket (tok / spk / scal / key); each prefill dispatch then
-        slices its row on device.  Blocking uploads over the host link cost
-        tens of ms each here, so per-request scalar uploads dominated
-        admission before this batching.
+        The whole wave packs into FIVE host->device uploads per prompt
+        bucket (slots / tok / spk / scal / keys) and ONE wave-prefill
+        dispatch: per-request dispatches each cost a host-link round trip
+        (tens of ms over this tunnel) and dominated admission before
+        batching (measured ~330 ms for an 8-request wave, vs ~60 ms
+        batched).  Short waves pad to the next wave-size bucket by
+        repeating row 0 (identical duplicate writes, order-independent).
         """
         ecfg = self.ecfg
         nvq = self.cfg.num_vq
@@ -762,13 +849,16 @@ class Engine:
         for Tpb in sorted({b for _, _, b in wave}):
             group = [(s, r) for s, r, b in wave if b == Tpb]
             n = len(group)
-            tok = np.zeros((n, Tpb, nvq + 2), np.int32)
-            spk = np.zeros((n, self.cfg.hidden_size), np.float32)
-            scal = np.zeros((n, 9 + nvq), np.float32)
-            keys = np.zeros((n, 2), np.uint32)
+            Wb = next(w for w in self._wave_sizes if w >= n)
+            tok = np.zeros((Wb, Tpb, nvq + 2), np.int32)
+            spk = np.zeros((Wb, self.cfg.hidden_size), np.float32)
+            scal = np.zeros((Wb, 9 + nvq), np.float32)
+            keys = np.zeros((Wb, 2), np.uint32)
+            slots_arr = np.zeros((Wb,), np.int32)
             for i, (s, req) in enumerate(group):
                 pids, ptmask = self._prompt_arrays(req)
                 T0 = pids.shape[0]
+                slots_arr[i] = s
                 tok[i, Tpb - T0 :, :nvq] = pids
                 tok[i, Tpb - T0 :, nvq] = 1
                 tok[i, Tpb - T0 :, nvq + 1] = ptmask
@@ -794,17 +884,18 @@ class Engine:
                      min(req.max_new, ecfg.max_new_tokens), eos,
                      req.resume_len, 0.0 if req.spk_vec is None else 1.0],
                     temp])
-            tok_d = jnp.asarray(tok)
-            spk_d = jnp.asarray(spk)
-            scal_d = jnp.asarray(scal)
-            keys_d = jnp.asarray(keys)
-            for i, (s, req) in enumerate(group):
-                self.state = self._prefill[Tpb](
-                    self.gpt_params, self.embed_params, self._packed,
-                    self.state, jnp.int32(s), tok_d[i], spk_d[i], scal_d[i],
-                    keys_d[i])
+            for i in range(n, Wb):  # pad rows: exact copies of row 0
+                tok[i], spk[i], scal[i] = tok[0], spk[0], scal[0]
+                keys[i], slots_arr[i] = keys[0], slots_arr[0]
+            self.state = self._prefill[(Tpb, Wb)](
+                self.gpt_params, self.embed_params, self._packed,
+                self.state, jnp.asarray(slots_arr), jnp.asarray(tok),
+                jnp.asarray(spk), jnp.asarray(scal), jnp.asarray(keys))
+            for s, req in group:
                 self.slots[s] = req
                 self._slot_chunks[s] = 0
+                self._acc_ids[s] = np.zeros((0, nvq), np.int32)
+                self._entry_steps[s] = 0
                 self.stats["prefills"] += 1
 
     def _maybe_preempt(self):
@@ -815,7 +906,6 @@ class Engine:
             return
         if any(r is None for r in self.slots):
             return
-        st = self.state
         finish, _, end_idx, step_in, _, seq_off = self._status[:6]
         max_bucket = max(self.ecfg.buckets)
         cands = []
@@ -834,14 +924,15 @@ class Engine:
             return
         _, s = max(cands)
         req = self.slots[s]
-        Tp = self.ecfg.max_prompt_len
         gen = int(end_idx[s])
-        new_ids = np.asarray(st.ids[s, Tp : Tp + gen])
+        new_ids = self._acc_ids[s][:gen]
         prev = req._resume_ids
         req._resume_ids = (new_ids if prev is None
                            else np.concatenate([prev, new_ids]))
         if self.ecfg.collect_hidden:
-            new_hid = np.asarray(st.hiddens[s, :gen])
+            # prefix-stable even with a speculative chunk in flight (device
+            # writes only append at positions >= gen for live slots)
+            new_hid = np.asarray(self.state.hiddens[s, :gen])
             prevh = req._resume_hiddens
             req._resume_hiddens = (new_hid if prevh is None
                                    else np.concatenate([prevh, new_hid]))
@@ -858,11 +949,9 @@ class Engine:
         st = self.state
         finish, active, end_idx, step_in, max_new, _ = self._status[:6]
         outputs: List[EngineOutput] = []
-        Tp = self.ecfg.max_prompt_len
-        # pre-scan: how many generated positions any consumer needs, then
-        # fetch them in at most TWO bulk device->host reads (blocking reads
-        # over the host link cost tens of ms each; per-slot reads dominated
-        # harvest before this)
+        # generated ids already live on the host (self._acc_ids, fed by the
+        # per-chunk packed transfer); only host-streaming / resumed hiddens
+        # still need a bulk device read - pre-scan how much
         def dev_hiddens_ok(req):
             # non-streaming and device-streaming non-resumed requests keep
             # hiddens ON DEVICE (per-slot copy at finish); host-streaming
@@ -871,26 +960,22 @@ class Engine:
                     and (req.on_tokens is None or req.stream_hiddens_dev)
                     and req._resume_hiddens is None)
 
-        need_ids = need_hid = 0
+        need_hid = 0
         for s, req in enumerate(self.slots):
             if req is None or not active[s]:
                 continue
             off = req.resume_len
-            if (req.on_tokens is not None
+            if (req.on_tokens is not None and not req.stream_hiddens_dev
                     and off + step_in[s] > req._emitted):
-                w = int(min(end_idx[s], step_in[s]))
-                need_ids = max(need_ids, w)
-                if not req.stream_hiddens_dev:
-                    need_hid = max(need_hid, w)
-            if finish[s]:
-                need_ids = max(need_ids, int(end_idx[s]))
-                if not dev_hiddens_ok(req):
-                    need_hid = max(need_hid, int(end_idx[s]))
-        ids_np = hid_np = None
-        if need_ids:
-            ids_np = np.asarray(st.ids[:, Tp : Tp + need_ids])
+                need_hid = max(need_hid, int(min(end_idx[s], step_in[s])))
+            if finish[s] and not dev_hiddens_ok(req):
+                need_hid = max(need_hid, int(end_idx[s]))
+        hid_np = None
         if need_hid and self.ecfg.collect_hidden:
+            # prefix-stable even with a speculative chunk in flight (writes
+            # append at positions >= the statused counts for live slots)
             hid_np = np.asarray(st.hiddens[:, :need_hid])
+        dev_gather: List = []  # (output_index, slot, n) finishing dev slots
         for s, req in enumerate(self.slots):
             if req is None or not active[s]:
                 continue
@@ -908,8 +993,7 @@ class Engine:
                 lo = req._emitted
                 fin = bool(finish[s])
                 if n > lo or fin:
-                    new_ids = ids_np[s, lo - off : n - off] if n > lo else (
-                        np.zeros((0, st.ids.shape[-1]), np.int32))
+                    new_ids = self._acc_ids[s][lo - off : n - off]
                     if not self.ecfg.collect_hidden:
                         new_hid = None
                     elif req.stream_hiddens_dev:
@@ -931,20 +1015,22 @@ class Engine:
             if not finish[s]:
                 continue
             n = int(end_idx[s])
-            seq = (ids_np[s, :n] if n
-                   else np.zeros((0, st.ids.shape[-1]), np.int32))
+            seq = self._acc_ids[s][:n]
             if req._resume_ids is not None:
                 seq = np.concatenate([req._resume_ids.astype(np.int32), seq])
             total = off + n
             out_ids = seq[:, 0].copy() if self.ecfg.infer_text else seq.copy()
             hid = hid_dev = None
+            use_gather = False
             if self.ecfg.collect_hidden:
                 if dev_hiddens_ok(req):
-                    # device-resident copy: a jnp slice materializes its own
-                    # buffer before the freed slot's rows can be rewritten
-                    # (in-order device execution; the next prefill for this
-                    # slot is enqueued strictly later)
-                    hid_dev = st.hiddens[s, :n]
+                    # device-resident: all slots finishing this chunk ride
+                    # ONE batched gather enqueued below - it materializes
+                    # its own buffer before the freed slots' rows can be
+                    # rewritten (in-order device execution; the next
+                    # prefill is enqueued strictly later), and one op
+                    # replaces a per-slot dispatch round trip each
+                    use_gather = True
                 else:
                     hid = (hid_np[s, :n].copy() if n
                            else np.zeros((0, st.hiddens.shape[-1]),
@@ -964,15 +1050,24 @@ class Engine:
                 self.waiting.appendleft(req)
                 self.stats["retries"] = self.stats.get("retries", 0) + 1
                 continue
-            outputs.append(EngineOutput(
+            out = EngineOutput(
                 request_id=req.request_id, ids=out_ids, hiddens=hid,
                 hiddens_dev=hid_dev, finish_reason=reason,
                 metrics={"gen_tokens": float(total),
-                         "latency_s": time.monotonic() - req.arrival}))
+                         "latency_s": time.monotonic() - req.arrival})
+            if use_gather:
+                dev_gather.append((len(outputs), s, n))
+            outputs.append(out)
             # `total` counts resumed tokens too; they were never tallied at
             # preemption time, so this does not double count
             self.stats["tokens_generated"] += total
             self.stats["requests_finished"] += 1
+        if dev_gather:
+            hb = st.hiddens[jnp.asarray([s for _, s, _ in dev_gather])]
+            for row, (oi, _, n) in enumerate(dev_gather):
+                outputs[oi]._hb = hb
+                outputs[oi]._hb_row = row
+                outputs[oi]._hb_n = n
         self._maybe_log()
         return outputs
 

@@ -496,21 +496,40 @@ def test_outputs_to_generation_device_batch(tiny_config, params):
     from chattts_tpu.engine.batching import outputs_to_generation
 
     cfg = tiny_config.gpt
+    # (a) equal lengths: all finish in ONE chunk and share a single harvest
+    # gather - outputs_to_generation reuses it without a pad/stack per row
     eng = _mk_engine(tiny_config, params)
-    outs = eng.generate([_req(cfg, f"d{i}", min_new=3, max_new=6 + i,
-                              seed=i) for i in range(3)])
-    assert all(o.hiddens_dev is not None for o in outs)
+    outs = eng.generate([_req(cfg, f"d{i}", min_new=6, max_new=6, seed=i)
+                         for i in range(3)])
+    assert all(o._hb is not None for o in outs)
+    assert all(o._hb is outs[0]._hb for o in outs)  # one shared gather
     g = outputs_to_generation(outs)
     assert g.hiddens_dev is not None and g.end_dev is not None
-    n_max = max(o.hiddens_dev.shape[0] for o in outs)
-    assert g.hiddens_dev.shape == (3, n_max, cfg.hidden_size)
+    assert g.hiddens_dev.shape == (3, 6, cfg.hidden_size)
     ends = np.asarray(g.end_dev)
     for i, o in enumerate(outs):
         n = o.host_hiddens().shape[0]
         assert ends[i] == n == o.ids.shape[0]
         np.testing.assert_array_equal(np.asarray(g.hiddens_dev[i, :n]),
                                       o.host_hiddens())
-        assert not np.asarray(g.hiddens_dev[i, n:]).any()  # zero padding
+
+    # (b) mixed lengths finish in different chunks (different gathers):
+    # the batch falls back to per-output pad+stack with zero padding
+    eng = _mk_engine(tiny_config, params)
+    outs = eng.generate([_req(cfg, f"m{i}", min_new=3, max_new=3 + 4 * i,
+                              seed=i) for i in range(3)])
+    assert all(o.dev_hiddens() is not None for o in outs)
+    g = outputs_to_generation(outs)
+    ends = np.asarray(g.end_dev)
+    n_max = int(ends.max())
+    assert g.hiddens_dev.shape == (3, n_max, cfg.hidden_size)
+    for i, o in enumerate(outs):
+        n = o.host_hiddens().shape[0]
+        assert ends[i] == n
+        np.testing.assert_array_equal(np.asarray(g.hiddens_dev[i, :n]),
+                                      o.host_hiddens())
+        if len({int(e) for e in ends}) > 1:
+            assert not np.asarray(g.hiddens_dev[i, n:]).any()  # zero pad
 
     # streaming requests keep the host/callback path (no device copy)
     eng2 = _mk_engine(tiny_config, params)
@@ -518,7 +537,7 @@ def test_outputs_to_generation_device_batch(tiny_config, params):
     req = _req(cfg, "s", min_new=3, max_new=6,
                on_tokens=lambda rid, ids, hid, fin: got.append(hid))
     outs2 = eng2.generate([req])
-    assert outs2[0].hiddens_dev is None and outs2[0].hiddens is not None
+    assert outs2[0].dev_hiddens() is None and outs2[0].hiddens is not None
 
 def test_device_streaming_hiddens(tiny_config, params):
     """stream_hiddens_dev: on_tokens receives the FULL (max_new, D) device
@@ -552,8 +571,8 @@ def test_device_streaming_hiddens(tiny_config, params):
     host_hid = np.concatenate([h for h in inc if h is not None])
     np.testing.assert_array_equal(np.asarray(seen["rows"])[:n], host_hid)
     # finish keeps device-resident hiddens despite the streaming callback
-    assert out2[0].hiddens_dev is not None
-    np.testing.assert_array_equal(np.asarray(out2[0].hiddens_dev),
+    assert out2[0].dev_hiddens() is not None
+    np.testing.assert_array_equal(np.asarray(out2[0].dev_hiddens()),
                                   out1[0].host_hiddens())
 
 
@@ -643,3 +662,30 @@ def test_service_synthesize_stream_device(tiny_config):
         np.testing.assert_allclose(a, b, atol=1e-6)
     finally:
         svc.close()
+
+
+def test_speculation_streaming_equivalence(tiny_config, params):
+    """Dispatch-ahead now also covers STREAMING consumers (the chunk's ids
+    ride the packed status transfer, so harvest never blocks on the
+    in-flight speculative chunk): increments and finals must bit-match the
+    non-speculative engine."""
+    cfg = tiny_config.gpt
+    runs = {}
+    for spec in (True, False):
+        eng = _mk_engine(tiny_config, params, chunk_steps=2, speculate=spec)
+        inc = {}
+
+        def on_tokens(rid, ids, hid, fin, inc=inc):
+            if ids is not None:
+                inc.setdefault(rid, []).append(np.asarray(ids))
+
+        rs = [_req(cfg, f"ss{i}", min_new=3, max_new=9, seed=50 + i,
+                   on_tokens=on_tokens) for i in range(3)]
+        outs = eng.generate(rs)
+        runs[spec] = (outs, {k: np.concatenate(v) for k, v in inc.items()})
+    for a, b in zip(runs[True][0], runs[False][0]):
+        assert a.request_id == b.request_id
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_array_equal(a.host_hiddens(), b.host_hiddens())
+    for rid, ids in runs[True][1].items():
+        np.testing.assert_array_equal(ids, runs[False][1][rid])
