@@ -608,8 +608,11 @@ class Chat:
         env = os.environ.get("CHATTTS_PIPELINED_DECODE")
         if env is not None:
             pipelined = env == "1"
-        if (pipelined and use_decoder
-                and not getattr(self, "use_engine", False)):
+        if pipelined and use_decoder:
+            # both backends stream device partials in the same contract:
+            # the generator via its jitted chunk yields, the engine via
+            # _infer_code_engine's device-resident streaming - so the
+            # chunked vocode + async PCM pipeline covers use_engine too
             out = self._pipelined_wavs(batch, params)
             if out is not None:
                 return out
@@ -759,7 +762,7 @@ class Chat:
                 broken = True  # decode the final output one-shot instead
             if broken:
                 continue
-            n = result.hiddens_dev.shape[1]
+            n = result.hid_n  # buffer may exceed the valid prefix (engine)
             if incr is not None:
                 while (fed + 1) * chunk <= n:
                     hidc = result.hiddens_dev[:, fed * chunk:
@@ -844,9 +847,15 @@ class Chat:
             # mask, decode, vocode and quantize there, transferring only the
             # finished PCM (the host link dominates e2e latency otherwise)
             hid = result.hiddens_dev  # (B, n_max, D)
-            B, n_max = hid.shape[0], hid.shape[1]
+            B, n_max = hid.shape[0], result.hid_n
             if n_max == 0:
                 return np.zeros((B, 0), np.float32)
+            if hid.shape[1] != n_max:
+                # engine partials carry the full fixed-shape buffer; decode
+                # only the valid prefix (mel of the masked-zero tail is NOT
+                # silent through the conv/norm stacks, and its ISTFT overlap
+                # would bleed into the last real samples)
+                hid = hid[:, :n_max]
             Tpad = _round_up(n_max, cfg.runtime.decode_bucket // 4 or 1)
             hid = jnp.pad(hid, ((0, 0), (0, Tpad - n_max), (0, 0)))
             wav = self._device_decode_jit(

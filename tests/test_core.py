@@ -463,3 +463,37 @@ def test_use_engine_streaming_device_matches_host(engine_chat, monkeypatch):
     host = run()
     assert dev.shape == host.shape
     np.testing.assert_allclose(dev, host, atol=2e-4)
+
+
+def test_use_engine_pipelined_matches_oneshot(engine_chat, monkeypatch):
+    """The chunked-decode + windowed-vocode pipeline now covers the engine
+    backend; its audio must match the one-shot decode bit-for-bit in
+    content (same tokens via the seed; vocode differs only by float
+    reassociation)."""
+    p = _code_params(max_new_token=24, min_new_token=24, manual_seed=13)
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
+    a = engine_chat.infer("pipeline the engine", skip_refine_text=True,
+                          split_text=False, params_infer_code=p)
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "0")
+    b = engine_chat.infer("pipeline the engine", skip_refine_text=True,
+                          split_text=False, params_infer_code=p)
+    assert len(a) == 1 and len(b) == 1
+    n = min(a[0].shape[0], b[0].shape[0])
+    assert abs(a[0].shape[0] - b[0].shape[0]) <= 1024  # strip-edge slack
+    np.testing.assert_allclose(a[0][:n], b[0][:n], atol=2e-4)
+
+
+def test_use_engine_pipelined_long_incremental(engine_chat, monkeypatch):
+    """Long enough to engage the conv-state incremental pipeline (not the
+    short-utterance one-shot fallback) through the ENGINE backend."""
+    p = _code_params(max_new_token=220, min_new_token=220, manual_seed=17)
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
+    a = engine_chat.infer("long engine pipeline run", skip_refine_text=True,
+                          split_text=False, params_infer_code=p)
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "0")
+    b = engine_chat.infer("long engine pipeline run", skip_refine_text=True,
+                          split_text=False, params_infer_code=p)
+    n = min(a[0].shape[0], b[0].shape[0])
+    assert n > 100 * 512  # actually long
+    assert abs(a[0].shape[0] - b[0].shape[0]) <= 1024
+    np.testing.assert_allclose(a[0][:n], b[0][:n], atol=2e-4)
