@@ -1085,7 +1085,8 @@ class Chat:
 
     def _infer_code_engine(self, text, params: "Chat.InferCodeParams",
                            stream: bool = False, inputs=None, engine=None,
-                           device_stream: bool = True):
+                           device_stream: bool = True,
+                           long_chunk: bool = False):
         """Engine-backed code generation (use_vllm analog), incl. streaming:
         slot callbacks accumulate per-request increments and each engine
         chunk yields cumulative partials in the generator's output format.
@@ -1182,7 +1183,10 @@ class Chat:
                 if self.context.get():
                     eng.interrupt()
                     break
-                eng.step()
+                # ``long_chunk``: bulk consumers (the pipelined decode)
+                # accept chunk_steps_max of scheduling latency per yield;
+                # live streaming keeps the short emission quantum
+                eng.step(long_chunk=long_chunk)
                 yield partial_out()
         finally:
             if bar is not None:
@@ -1202,9 +1206,12 @@ class Chat:
             if plen <= cap:
                 eng = self._engine_for_code_auto(
                     len(text), params.max_new_token, plen)
-                return self._infer_code_engine(text, params, stream=stream,
-                                               inputs=inputs, engine=eng,
-                                               device_stream=return_hidden)
+                # stream_batch_override marks a bulk pipeline consumer
+                # (core._pipelined_wavs), not a live listener
+                return self._infer_code_engine(
+                    text, params, stream=stream, inputs=inputs, engine=eng,
+                    device_stream=return_hidden,
+                    long_chunk=stream_batch_override is not None)
             # a spliced clone prompt longer than the engine's prompt
             # capacity falls back to the one-shot generator, which buckets
             # arbitrary lengths (mirrors the refine pass's fallback; the

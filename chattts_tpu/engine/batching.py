@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import hashlib
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, NamedTuple, Optional
@@ -253,6 +254,41 @@ class SlotState(NamedTuple):
     #                              a slot depends only on its own key/depth
 
 
+def _threefry2x32_host(key: tuple, count: tuple) -> np.ndarray:
+    """numpy threefry-2x32: bit-identical to jax's on-device block.
+
+    Plain-int arithmetic masked to 32 bits; pinned against jax in
+    test_engine.py (host_slot_key golden)."""
+    m = 0xFFFFFFFF
+    ks0, ks1 = int(key[0]) & m, int(key[1]) & m
+    ks = (ks0, ks1, ks0 ^ ks1 ^ 0x1BD11BDA)
+    x0, x1 = (int(count[0]) + ks0) & m, (int(count[1]) + ks1) & m
+    rotations = ((13, 15, 26, 6), (17, 29, 16, 24))
+    for i in range(5):
+        for r in rotations[i % 2]:
+            x0 = (x0 + x1) & m
+            x1 = ((x1 << r) | (x1 >> (32 - r))) & m
+            x1 ^= x0
+        x0 = (x0 + ks[(i + 1) % 3]) & m
+        x1 = (x1 + ks[(i + 2) % 3] + i + 1) & m
+    return np.asarray([x0, x1], np.uint32)
+
+
+def _host_slot_key(seed: int, attempt: int) -> np.ndarray:
+    """Per-request slot RNG key, derived ENTIRELY on the host.
+
+    MUST equal jax.random.key_data(fold_in(PRNGKey(seed), attempt)) bit
+    for bit: the generator derives its per-row keys the same way, and the
+    engine/generator paths are pinned token-exact against each other
+    (wire tests, long-prompt fallback).  Deriving it WITH jax cost
+    per-request device dispatches plus a BLOCKING device->host read each
+    - ~200 ms of an 8-request admission wave over this host link - so we
+    run the same threefry math on the host: PRNGKey(seed) = [hi, lo] of
+    the seed; fold_in(key, d) = threefry2x32(key, [0, d])."""
+    return _threefry2x32_host(
+        ((int(seed) >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF), (0, attempt))
+
+
 def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int,
                 fused: bool = False) -> SlotState:
     S, Tc = ecfg.max_num_seqs, ecfg.cache_len
@@ -341,24 +377,32 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
         """Wave prefill: W prompts of bucket Tpb in ONE jitted call.
 
         The prompt occupies cache slots [Tp - Tpb, Tp); everything below
-        stays padding.  The host packs the whole admission wave into FIVE
-        uploads (slots / tok / spk / scal / keys) and dispatches once -
-        per-request dispatches cost a host-link round trip each (~tens of
-        ms over this tunnel), which dominated admission before batching.
-        Waves smaller than W pad by REPEATING row 0 (identical values
-        written to the same slot index are order-independent).
+        stays padding.  The host packs the whole admission wave into TWO
+        uploads (one int32, one float32) and dispatches once - per-request
+        dispatches (and per-array uploads) cost a host-link round trip
+        each (~tens of ms over this tunnel), which dominated admission
+        before batching.  Waves smaller than W pad by REPEATING row 0
+        (identical values written to the same slot index are
+        order-independent).
 
-        ``tok`` (W, Tpb, num_vq + 2) int32 = [ids | attn | tmask],
-        ``spk`` (W, D), ``scal`` (W, 9 + num_vq) f32 = [spk_emb_ids, top_p,
-        top_k, rep, min_new, max_new, eos, seq_off, has_spk, temp...],
-        ``keys`` (W, 2) uint32, ``slots`` (W,) int32 target slot per row.
+        ``ints`` = [slots (W,) | keys (W, 2) bitcast | tok (W, Tpb,
+        num_vq + 2) = ids|attn|tmask], ``floats`` = [spk (W, D) | scal
+        (W, 9 + num_vq) = spk_emb_ids, top_p, top_k, rep, min_new,
+        max_new, eos, seq_off, has_spk, temp...].
         """
         off = Tp - Tpb
         L = cfg.num_hidden_layers
+        D = cfg.hidden_size
 
-        def prefill_wave(gp, ep, packed, st: SlotState, slots, tok, spk,
-                         scal, keys) -> SlotState:
+        def prefill_wave(gp, ep, packed, st: SlotState, ints,
+                         floats) -> SlotState:
             nvq = cfg.num_vq
+            slots = ints[:W]
+            keys = lax.bitcast_convert_type(
+                ints[W : 3 * W].reshape(W, 2), jnp.uint32)
+            tok = ints[3 * W :].reshape(W, Tpb, nvq + 2)
+            spk = floats[: W * D].reshape(W, D)
+            scal = floats[W * D :].reshape(W, 9 + nvq)
             ids = tok[:, :, :nvq]
             attn = tok[:, :, nvq] != 0
             tmask = tok[:, :, nvq + 1] != 0
@@ -719,19 +763,15 @@ class Engine:
                 r.on_tokens(r.request_id, None, None, True)
         return dropped
 
-    def _scheduler_idle(self) -> bool:
-        """True when the host has no per-chunk scheduling work: nothing
-        waiting (admission and preemption are no-ops) and no active request
-        streams (harvest fetches only at finishes)."""
-        return (not self.waiting
-                and all(r is None or r.on_tokens is None
-                        for r in self.slots))
-
     def _dispatch_chunk(self, long_chunk: bool) -> jax.Array:
         chunk = self.ecfg.chunk_steps
         if (long_chunk and chunk < self.ecfg.chunk_steps_max
-                and self._scheduler_idle()):
-            # no scheduling decisions pending: amortize the host sync
+                and not self.waiting):
+            # nothing to admit: amortize the per-chunk host sync.  The
+            # caller's ``long_chunk`` carries the latency intent - callers
+            # that stream to a live listener keep the short quantum, bulk
+            # consumers (offline generate, the pipelined decode) accept
+            # chunk_steps_max of scheduling latency
             chunk = self.ecfg.chunk_steps_max
         self.state, status = self._chunk(
             self.gpt_params, self.embed_params, self._packed, self.state,
@@ -873,11 +913,10 @@ class Engine:
                 # per-request determinism: the slot key derives from the
                 # request seed alone (retries fold the attempt index,
                 # mirroring the reference's regenerate-with-advanced-RNG,
-                # gpt.py:527-570)
+                # gpt.py:527-570); derived host-side - no device traffic
                 seed = (req.seed if req.seed is not None
                         else int(self._host_rng.integers(1 << 31)))
-                keys[i] = np.asarray(jax.random.key_data(jax.random.fold_in(
-                    jax.random.PRNGKey(seed), req._attempts)), np.uint32)
+                keys[i] = _host_slot_key(seed, req._attempts)
                 scal[i] = np.concatenate([
                     [self.spk_emb_ids, req.top_p, req.top_k,
                      req.repetition_penalty, req.min_new,
@@ -887,10 +926,12 @@ class Engine:
             for i in range(n, Wb):  # pad rows: exact copies of row 0
                 tok[i], spk[i], scal[i] = tok[0], spk[0], scal[0]
                 keys[i], slots_arr[i] = keys[0], slots_arr[0]
+            ints = np.concatenate(
+                [slots_arr, keys.view(np.int32).ravel(), tok.ravel()])
+            floats = np.concatenate([spk.ravel(), scal.ravel()])
             self.state = self._prefill[(Tpb, Wb)](
                 self.gpt_params, self.embed_params, self._packed,
-                self.state, jnp.asarray(slots_arr), jnp.asarray(tok),
-                jnp.asarray(spk), jnp.asarray(scal), jnp.asarray(keys))
+                self.state, jnp.asarray(ints), jnp.asarray(floats))
             for s, req in group:
                 self.slots[s] = req
                 self._slot_chunks[s] = 0

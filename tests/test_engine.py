@@ -689,3 +689,17 @@ def test_speculation_streaming_equivalence(tiny_config, params):
         np.testing.assert_array_equal(a.host_hiddens(), b.host_hiddens())
     for rid, ids in runs[True][1].items():
         np.testing.assert_array_equal(ids, runs[False][1][rid])
+
+
+def test_host_slot_key_matches_jax_fold_in():
+    """The engine's host-derived slot key MUST be bit-identical to the
+    generator's jax derivation (PRNGKey(seed) + fold_in(attempt)): the
+    engine and generator paths are pinned token-exact against each other,
+    and the slot key seeds the shared device-side fold-in chain."""
+    from chattts_tpu.engine.batching import _host_slot_key
+
+    for seed, att in [(0, 0), (4, 0), (4, 1), (123456789, 7),
+                      (2**31 - 1, 3), (42, 255)]:
+        ref = np.asarray(jax.random.key_data(jax.random.fold_in(
+            jax.random.PRNGKey(seed), att)), np.uint32)
+        np.testing.assert_array_equal(_host_slot_key(seed, att), ref)
