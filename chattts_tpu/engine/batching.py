@@ -656,11 +656,12 @@ class Engine:
                        and ecfg.max_num_seqs <= 16)
         self._packed = {}
         if self._fused:
-            from .generate import step_int8
+            from .generate import step_int4, step_int8
             from ..ops.pallas_step import pack_step_params
 
             self._packed = pack_step_params(gpt_params, cfg,
-                                            int8=step_int8())
+                                            int8=step_int8(),
+                                            int4=step_int4())
         self.state = _init_state(cfg, ecfg, seed, fused=self._fused)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -155,7 +155,16 @@ def step_int8() -> bool:
     Halves the per-step weight stream (the dominant HBM traffic); weights
     are quantized per-output-column at pack time and dequantized in-kernel.
     """
-    return os.environ.get("CHATTTS_STEP_INT8", "0") == "1"
+    return (os.environ.get("CHATTTS_STEP_INT8", "0") == "1"
+            and not step_int4())
+
+
+def step_int4() -> bool:
+    """Opt-in int4 weight slabs (CHATTTS_STEP_INT4=1; wins over INT8).
+
+    Quarters the weight stream; nibble-packed slabs with per-(128-row
+    group, column) scales dequantized in-kernel (ops/pallas_step.py)."""
+    return os.environ.get("CHATTTS_STEP_INT4", "0") == "1"
 
 
 @functools.lru_cache(maxsize=32)
@@ -356,7 +365,9 @@ class Generator:
         if use_fused_step(cfg):
             from ..ops.pallas_step import pack_step_params
 
-            self._packed = pack_step_params(gpt_params, cfg, int8=step_int8())
+            self._packed = pack_step_params(gpt_params, cfg,
+                                            int8=step_int8(),
+                                            int4=step_int4())
 
     def _pad_prompt(self, req: GenerateRequest):
         """Left-extend prompts to the bucketed length (padding stays left)."""

@@ -62,7 +62,18 @@ def rope_rotate_matrix(head_dim: int, hd: int) -> np.ndarray:
     return R
 
 
-def pack_step_params(params: dict, cfg, int8: bool = False) -> dict:
+def _int4_groups(D: int):
+    """(group_size, n_groups) for int4 scales: 128-row contraction groups,
+    shrunk when a half-slab is narrower so no group straddles the nibble
+    halves (each half must split evenly into groups)."""
+    gs = 128 if (D // 2) % 128 == 0 else D // 2
+    if (D // 2) % gs:
+        raise ValueError("geometry not int4-groupable")
+    return gs, D // gs
+
+
+def pack_step_params(params: dict, cfg, int8: bool = False,
+                     int4: bool = False) -> dict:
     """Pre-pack layer weights into the kernel's slab layout.
 
     Returns {"W": (L*S, D, D) bf16, "ln1": (L, D) f32, "ln2": (L, D) f32,
@@ -77,6 +88,16 @@ def pack_step_params(params: dict, cfg, int8: bool = False) -> dict:
     scales keep the relative weight error ~0.4%; opt-in, pass
     ``tests/test_pallas_step.py::test_fused_step_int8*`` before trusting a
     new geometry.
+
+    ``int4=True`` (env ``CHATTTS_STEP_INT4=1``) packs two 4-bit weights per
+    byte — W becomes (L*S, D/2, D) int8 with contraction rows [0, D/2) in
+    the low nibble and [D/2, D) in the high nibble — quartering the weight
+    stream.  Accuracy needs finer scales than int8's per-column: ``wscale``
+    becomes (L, S, G, D) with a scale per (128-row contraction group,
+    output column) (G = D/128; the GPTQ/AWQ "group size 128" convention),
+    and the kernel computes per-group partial matmuls and folds the scale
+    into each partial — exact w.r.t. the quantized weights, no expanded
+    scale tensor.
     """
     D, I = cfg.hidden_size, cfg.intermediate_size
     H, Dh = cfg.num_attention_heads, cfg.head_dim
@@ -102,8 +123,19 @@ def pack_step_params(params: dict, cfg, int8: bool = False) -> dict:
         ln2.append(lp["ln2"])
     S = 4 + 3 * r
     L = len(params["layers"])
+    if int8 and int4:
+        raise ValueError("int8 and int4 slabs are mutually exclusive")
     W = jnp.stack(slabs)  # (L*S, D, D)
-    if int8:
+    if int4:
+        gs, G = _int4_groups(D)
+        Wg = W.astype(jnp.float32).reshape(L * S, G, gs, D)
+        scale = jnp.maximum(jnp.max(jnp.abs(Wg), axis=2), 1e-8) / 7.0
+        q = jnp.clip(jnp.round(Wg / scale[:, :, None, :]), -7, 7).astype(
+            jnp.int32).reshape(L * S, D, D)
+        lo, hi = q[:, : D // 2], q[:, D // 2 :]
+        W = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)  # (L*S, D/2, D)
+        wscale = scale.astype(jnp.float32).reshape(L, S, G, D)
+    elif int8:
         scale = jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-8) / 127.0
         W = jnp.clip(jnp.round(W / scale[:, None, :]), -127, 127).astype(
             jnp.int8)
@@ -132,7 +164,7 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
             wsem, ksem, vsem, rsem, *,
             B: int, D: int, HD: int, H: int, I: int, T: int, TC: int,
             S: int, L: int, eps: float, scale: float, per_slot: bool,
-            int8: bool, WRING: int):
+            int8: bool, int4: bool, WRING: int):
     l = pl.program_id(0)
     base = l * S
     r = I // D
@@ -178,7 +210,27 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
         pltpu.make_async_copy(w_hbm.at[g], wbuf.at[g % WRING],
                               wsem.at[g % WRING]).wait()
         w = wbuf[g % WRING]
-        if int8:
+        if int4:
+            # nibble-packed slab (D/2, D): unpack via int32 shifts, then a
+            # per-128-row-group partial matmul with the (group, column)
+            # scale folded into each partial - the unpack + G thin matmuls
+            # are VPU/MXU work hidden behind the quartered DMA stream
+            gs, G = _int4_groups(D)
+            G2 = G // 2
+            wi = w.astype(jnp.int32)
+            lo4 = ((wi << 28) >> 28).astype(jnp.bfloat16)  # rows [0, D/2)
+            hi4 = (wi >> 4).astype(jnp.bfloat16)           # rows [D/2, D)
+            ab = a.astype(jnp.bfloat16)
+            out = jnp.zeros((a.shape[0], D), jnp.float32)
+            for gi in range(G):
+                half = lo4 if gi < G2 else hi4
+                blk = half[(gi % G2) * gs:((gi % G2) + 1) * gs]
+                part = lax.dot_general(
+                    ab[:, gi * gs:(gi + 1) * gs], blk,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out = out + part * ws_ref[s, gi][None, :]
+        elif int8:
             # dequant: int8 slab -> bf16, per-output-column scale folded
             # into the (B, D) result (cheap VPU work vs the halved DMA)
             out = mm(a, w.astype(jnp.bfloat16)) * ws_ref[s][None, :]
@@ -419,15 +471,23 @@ def decode_step_fused(
     cur_smem = jnp.concatenate(
         [jnp.max(cur_rows)[None], cur_rows, jnp.min(cur_rows)[None]])
 
-    int8 = packed["W"].dtype == jnp.int8
+    quant = packed["W"].dtype == jnp.int8
+    int4 = quant and packed["W"].shape[1] == D // 2  # nibble-packed rows
+    int8 = quant and not int4
     wscale = packed.get("wscale")
     if wscale is None:
         wscale = jnp.ones((L, S, D), jnp.float32)
-    wring = WRING * 2 if int8 else WRING  # int8 slabs are half-size
+    # ring depth scales with the slab shrink so the VMEM ring budget (and
+    # the DMA lookahead in bytes) stays constant across weight precisions
+    wring = WRING * 4 if int4 else WRING * 2 if int8 else WRING
     kernel = functools.partial(
         _kernel, B=B, D=D, HD=HD, H=H, I=I, T=T, TC=TC, S=S, L=L,
         eps=cfg.rms_norm_eps, scale=1.0 / float(np.sqrt(Dh)),
-        per_slot=per_slot, int8=int8, WRING=wring)
+        per_slot=per_slot, int8=int8, int4=int4, WRING=wring)
+    ws_spec = (pl.BlockSpec((None,) + wscale.shape[1:],
+                            lambda l: (l, 0, 0, 0)) if int4 else
+               pl.BlockSpec((None, S, D), lambda l: (l, 0, 0)))
+    wrows = D // 2 if int4 else D
     x_out, k2, v2 = pl.pallas_call(
         kernel,
         grid=(L,),
@@ -443,7 +503,7 @@ def decode_step_fused(
             # (Mosaic block rule) while staying per-layer.
             pl.BlockSpec((None, 1, D), lambda l: (l, 0, 0)),  # ln1 row
             pl.BlockSpec((None, 1, D), lambda l: (l, 0, 0)),  # ln2 row
-            pl.BlockSpec((None, S, D), lambda l: (l, 0, 0)),  # dequant scales
+            ws_spec,                                          # dequant scales
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x in
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rope matrix
             pl.BlockSpec(memory_space=pltpu.HBM),    # W slabs
@@ -461,7 +521,7 @@ def decode_step_fused(
             jax.ShapeDtypeStruct((L, B, T, HD), v_cache.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((wring, D, D), packed["W"].dtype),  # weight ring
+            pltpu.VMEM((wring, wrows, D), packed["W"].dtype),  # weight ring
             pltpu.VMEM((KRING, B, TC, HD), k_cache.dtype),
             pltpu.VMEM((KRING, B, TC, HD), v_cache.dtype),
             pltpu.VMEM((B, 8, HD), k_cache.dtype),        # append window k

@@ -219,3 +219,44 @@ def test_fused_step_multi_step_sequence():
                                    atol=0.08, rtol=0.08)
         h_ref = h_ref_out * 0.1  # feed something step-dependent back in
         h_fused = h_fused_out * 0.1
+
+
+def test_int4_pack_quantization_error_bounded():
+    """Dequantized int4 slabs stay within the per-(group, column) scale's
+    rounding error (|err| <= scale/2 elementwise after unpacking)."""
+    params = llama.init_params(jax.random.PRNGKey(0), CFG)
+    ref = pallas_step.pack_step_params(params, CFG)
+    q = pallas_step.pack_step_params(params, CFG, int4=True)
+    D = CFG.hidden_size
+    gs, G = pallas_step._int4_groups(D)
+    L, S, G_, D_ = q["wscale"].shape
+    assert (G_, D_) == (G, D) and q["W"].shape[1] == D // 2
+    W_ref = np.asarray(ref["W"], np.float32)             # (LS, D, D)
+    packed = np.asarray(q["W"], np.int32)                # (LS, D/2, D)
+    lo = (packed << 28) >> 28
+    hi = packed >> 4
+    W_q = np.concatenate([lo, hi], axis=1)               # (LS, D, D)
+    scale = np.asarray(q["wscale"], np.float32).reshape(L * S, G, 1, D)
+    W_deq = (W_q.reshape(L * S, G, gs, D) * scale).reshape(L * S, D, D)
+    err = np.abs(W_deq - W_ref)
+    bound = np.repeat(scale, gs, axis=2).reshape(L * S, D, D) * 0.5 + 1e-3
+    assert (err <= bound + np.abs(W_ref) * 8e-3).all()  # bf16 ref rounding
+
+
+def test_fused_step_int4_close_to_xla():
+    """int4-slab fused step tracks the f32 XLA step within quantization
+    tolerance (wider than int8's: 4-bit weights, group-128 scales)."""
+    cur = 11
+    params, _, cache, emb, lo, kv, pos = _setup(cur=cur)
+    packed = pallas_step.pack_step_params(params, CFG, int4=True)
+    h_ref, _ = llama.decode_step(
+        params, emb, cache, jnp.int32(cur), kv, pos, CFG)
+    HD = CFG.num_attention_heads * CFG.head_dim
+    kc = jnp.stack([c.reshape(B, T, HD) for c in cache.k])
+    vc = jnp.stack([c.reshape(B, T, HD) for c in cache.v])
+    x_out, _, _ = pallas_step.decode_step_fused(
+        packed, emb, kc, vc, jnp.int32(cur), lo, pos, CFG,
+        t_chunk=8, interpret=True)
+    h_fused = llama.rms_norm(x_out, params["norm"], CFG.rms_norm_eps)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               atol=0.35, rtol=0.35)
