@@ -164,10 +164,12 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
             wsem, ksem, vsem, rsem, *,
             B: int, D: int, HD: int, H: int, I: int, T: int, TC: int,
             S: int, L: int, eps: float, scale: float, per_slot: bool,
-            int8: bool, int4: bool, WRING: int):
+            int8: bool, int4: bool, WRING: int, BS: int):
     l = pl.program_id(0)
-    base = l * S
     r = I // D
+    NBL = S // BS       # weight bundles per layer: BS consecutive slabs
+    #                     ride ONE async copy (BS=1 == one DMA per slab,
+    #                     the measured-best default; see wrapper comment)
     cur_max = cur_ref[0]        # max append position (chunk loop bound)
     cur_min = cur_ref[1 + B]    # min append position (prefetch safety)
     curv = curv_ref[...].astype(jnp.int32)  # (B, 1) per-row positions
@@ -177,9 +179,11 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     # window can touch rows [0, TC) — i.e. every row's cur is past chunk 0
     prefetch0 = cur_min >= TC
 
-    def start_wdma(g):
-        cp = pltpu.make_async_copy(w_hbm.at[g], wbuf.at[g % WRING],
-                                   wsem.at[g % WRING])
+    def start_wdma(gb):
+        # one copy per BUNDLE: slabs [gb*BS, (gb+1)*BS) -> ring slot
+        cp = pltpu.make_async_copy(w_hbm.at[pl.ds(gb * BS, BS)],
+                                   wbuf.at[gb % WRING],
+                                   wsem.at[gb % WRING])
         cp.start()
 
     def start_kv(li, c, slot):
@@ -200,16 +204,20 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
                                preferred_element_type=jnp.float32)
 
     def mm_slab(a, s):
-        """a @ slab ``base+s``: wait for its ring slot, multiply, and only
-        THEN refill the slot with slab ``base+s+WRING`` (wraps into the next
-        layer) - the refill must not be issued before the consuming matmul
-        or it races the read.  Ring slots are keyed by the global slab id so
-        the wait matches the start that filled the slot.
-        """
-        g = base + s
-        pltpu.make_async_copy(w_hbm.at[g], wbuf.at[g % WRING],
-                              wsem.at[g % WRING]).wait()
-        w = wbuf[g % WRING]
+        """a @ slab ``base+s``: wait for its bundle's ring slot on FIRST
+        use, multiply, and after the bundle's LAST slab is consumed refill
+        the slot with bundle ``gb+WRING`` (wraps into following layers) -
+        the refill must not be issued before the consuming matmul or it
+        races the read.  BS divides S, so a slab's bundle offset is static
+        at every call site; ring slots are keyed by the global bundle id
+        so each wait matches the start that filled the slot."""
+        gb = l * NBL + s // BS  # global bundle id (s // BS is static)
+        so = s % BS             # slab offset in the bundle (static)
+        if so == 0:
+            pltpu.make_async_copy(w_hbm.at[pl.ds(gb * BS, BS)],
+                                  wbuf.at[gb % WRING],
+                                  wsem.at[gb % WRING]).wait()
+        w = wbuf[gb % WRING, so]
         if int4:
             # nibble-packed slab (D/2, D): unpack via int32 shifts, then a
             # per-128-row-group partial matmul with the (group, column)
@@ -236,11 +244,12 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
             out = mm(a, w.astype(jnp.bfloat16)) * ws_ref[s][None, :]
         else:
             out = mm(a, w)
-        nxt = g + WRING
+        if so == BS - 1:  # bundle fully consumed: refill its ring slot
+            nxt = gb + WRING
 
-        @pl.when(nxt < L * S)
-        def _():
-            start_wdma(nxt)
+            @pl.when(nxt < L * NBL)
+            def _():
+                start_wdma(nxt)
         return out
 
     # append-window RMW reads depend only on ``cur`` — start them first so
@@ -477,17 +486,30 @@ def decode_step_fused(
     wscale = packed.get("wscale")
     if wscale is None:
         wscale = jnp.ones((L, S, D), jnp.float32)
-    # ring depth scales with the slab shrink so the VMEM ring budget (and
-    # the DMA lookahead in bytes) stays constant across weight precisions
-    wring = WRING * 4 if int4 else WRING * 2 if int8 else WRING
+    # Weight stream: BS consecutive slabs ride one async copy (bundle) and
+    # ``wring`` bundles are in flight.  The ring byte budget is pinned at
+    # the 4-slab bf16 footprint (scoped VMEM is 16 MB total; 9 MB of
+    # weight ring OOMs next to the 6 MB kv ring), so BS clamps to what
+    # fits at ring depth 2 — max bundle per precision bf16:2 / int8:4 /
+    # int4:8.  BS must divide S.  DEFAULT 1: on-chip A/B (PERF.md "RULED
+    # OUT: weight-DMA bundling") measured bundling flat for bf16/int4 and
+    # ~15% SLOWER for int8 — fewer DMA issues don't pay for the coarser
+    # overlap (first matmul waits on the whole bundle; a ring slot only
+    # refills after its last slab is consumed).  Env knob kept for A/B.
+    wrows = D // 2 if int4 else D
+    slab_bytes = wrows * D * np.dtype(packed["W"].dtype).itemsize
+    ring_bytes = WRING * D * D * 2
+    BS = int(os.environ.get("CHATTTS_STEP_WBUNDLE", "1"))
+    while S % BS or 2 * BS * slab_bytes > ring_bytes:
+        BS -= 1
+    wring = max(2, ring_bytes // (BS * slab_bytes))
     kernel = functools.partial(
         _kernel, B=B, D=D, HD=HD, H=H, I=I, T=T, TC=TC, S=S, L=L,
         eps=cfg.rms_norm_eps, scale=1.0 / float(np.sqrt(Dh)),
-        per_slot=per_slot, int8=int8, int4=int4, WRING=wring)
+        per_slot=per_slot, int8=int8, int4=int4, WRING=wring, BS=BS)
     ws_spec = (pl.BlockSpec((None,) + wscale.shape[1:],
                             lambda l: (l, 0, 0, 0)) if int4 else
                pl.BlockSpec((None, S, D), lambda l: (l, 0, 0)))
-    wrows = D // 2 if int4 else D
     x_out, k2, v2 = pl.pallas_call(
         kernel,
         grid=(L,),
@@ -521,7 +543,7 @@ def decode_step_fused(
             jax.ShapeDtypeStruct((L, B, T, HD), v_cache.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((wring, wrows, D), packed["W"].dtype),  # weight ring
+            pltpu.VMEM((wring, BS, wrows, D), packed["W"].dtype),  # w ring
             pltpu.VMEM((KRING, B, TC, HD), k_cache.dtype),
             pltpu.VMEM((KRING, B, TC, HD), v_cache.dtype),
             pltpu.VMEM((B, 8, HD), k_cache.dtype),        # append window k

@@ -221,6 +221,29 @@ def test_fused_step_multi_step_sequence():
         h_fused = h_fused_out * 0.1
 
 
+def test_fused_step_bundle_sizes_consistent(monkeypatch):
+    """Weight-DMA bundle size (CHATTTS_STEP_WBUNDLE) never changes the
+    result: BS=1 (one DMA per slab, the original scheme) equals BS=2/5
+    (bundled copies).  The env is read at trace time, so the jit cache is
+    cleared between settings."""
+    cur = 11
+    params, packed, cache, emb, lo, kv, pos = _setup(cur=cur)
+    HD = CFG.num_attention_heads * CFG.head_dim
+    kc = jnp.stack([c.reshape(B, T, HD) for c in cache.k])
+    vc = jnp.stack([c.reshape(B, T, HD) for c in cache.v])
+    outs = []
+    for bs in ("1", "2", "5"):  # S=10 for the test config
+        monkeypatch.setenv("CHATTTS_STEP_WBUNDLE", bs)
+        pallas_step.decode_step_fused.clear_cache()
+        x_out, _, _ = pallas_step.decode_step_fused(
+            packed, emb, kc, vc, jnp.int32(cur), lo, pos, CFG,
+            t_chunk=8, interpret=True)
+        outs.append(np.asarray(x_out))
+    pallas_step.decode_step_fused.clear_cache()
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], atol=1e-5)
+
+
 def test_int4_pack_quantization_error_bounded():
     """Dequantized int4 slabs stay within the per-(group, column) scale's
     rounding error (|err| <= scale/2 elementwise after unpacking)."""
