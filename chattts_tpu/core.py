@@ -208,11 +208,35 @@ class Chat:
         self.coef = dvae_mod.coef_string(self.decoder_params)
         self._init_runtime()
 
+    def _step_slabs(self):
+        """One shared packed-slab copy for the fused decode step.
+
+        ``pack_step_params`` materializes ~L*S*D*D bytes (~377 MB bf16 at
+        the real config) on HBM; the generator and every engine tier use
+        byte-identical slabs, so the facade packs ONCE and hands the same
+        dict to all of them.  Keyed on the quantization env so a flip of
+        CHATTTS_STEP_INT8/INT4 between constructions still packs fresh.
+        """
+        from .engine.generate import step_int4, step_int8, use_fused_step
+
+        if not use_fused_step(self.config.gpt):
+            return None
+        key = (step_int8(), step_int4())
+        cache = getattr(self, "_slab_cache", None)
+        if cache is None or cache[0] != key:
+            from .ops.pallas_step import pack_step_params
+
+            self._slab_cache = (key, pack_step_params(
+                self.gpt_params, self.config.gpt,
+                int8=key[0], int4=key[1]))
+        return self._slab_cache[1]
+
     def _init_runtime(self):
         cfg = self.config
         self.generator = Generator(
             cfg.gpt, self.gpt_params, self.embed_params,
-            prefill_bucket=cfg.runtime.prefill_bucket)
+            prefill_bucket=cfg.runtime.prefill_bucket,
+            packed=self._step_slabs())
         self._decode_hidden_jit = jax.jit(
             functools.partial(dvae_mod.decode_from_hidden, cfg=cfg.decoder))
         self._decode_indices_jit = jax.jit(
@@ -262,7 +286,8 @@ class Chat:
         logger = self.logger
         for attr in ("dvae_params", "decoder_params", "vocos_params",
                      "embed_params", "gpt_params", "generator", "tokenizer",
-                     "speaker", "_code_engines", "_text_engine"):
+                     "speaker", "_code_engines", "_text_engine",
+                     "_slab_cache"):
             if hasattr(self, attr):
                 delattr(self, attr)
         self.normalizer.destroy()
@@ -1010,7 +1035,8 @@ class Chat:
             engines[tier] = Engine(
                 self.config.gpt, self._code_engine_geometry(tier),
                 self.gpt_params, self.embed_params,
-                spk_emb_ids=self.tokenizer.spk_emb_ids)
+                spk_emb_ids=self.tokenizer.spk_emb_ids,
+                packed=self._step_slabs())
         return engines[tier]
 
     def _engine_for_code_auto(self, n_requests: int, max_new: int,
@@ -1042,7 +1068,8 @@ class Chat:
                     preempt_after_chunks=4,
                 ),
                 self.gpt_params, self.embed_params,
-                spk_emb_ids=self.tokenizer.spk_emb_ids)
+                spk_emb_ids=self.tokenizer.spk_emb_ids,
+                packed=self._step_slabs())
         return self._text_engine
 
     def _code_inputs(self, text, params: "Chat.InferCodeParams"):

@@ -635,7 +635,7 @@ class Engine:
 
     def __init__(self, cfg: GPTConfig, ecfg: EngineConfig, gpt_params: dict,
                  embed_params: dict, spk_emb_ids: int = 0, seed: int = 0,
-                 mesh=None):
+                 mesh=None, packed=None):
         """``mesh``: optional jax.sharding.Mesh with ("dp", "tp") axes.
 
         When given, parameters shard over `tp` (heads/FFN) and the slot state
@@ -656,12 +656,17 @@ class Engine:
                        and ecfg.max_num_seqs <= 16)
         self._packed = {}
         if self._fused:
-            from .generate import step_int4, step_int8
-            from ..ops.pallas_step import pack_step_params
+            if packed is not None:
+                # shared pre-packed slabs (see Generator.__init__): one
+                # HBM copy serves every tier of the same weights
+                self._packed = packed
+            else:
+                from .generate import step_int4, step_int8
+                from ..ops.pallas_step import pack_step_params
 
-            self._packed = pack_step_params(gpt_params, cfg,
-                                            int8=step_int8(),
-                                            int4=step_int4())
+                self._packed = pack_step_params(gpt_params, cfg,
+                                                int8=step_int8(),
+                                                int4=step_int4())
         self.state = _init_state(cfg, ecfg, seed, fused=self._fused)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -868,8 +873,9 @@ class Engine:
     def _admit(self):
         """Admit waiting requests into free slots.
 
-        The whole wave packs into FIVE host->device uploads per prompt
-        bucket (slots / tok / spk / scal / keys) and ONE wave-prefill
+        The whole wave packs into TWO host->device uploads per prompt
+        bucket (one int32 array [slots | keys | tok], one float32
+        [spk | scal], unpacked inside the jit) and ONE wave-prefill
         dispatch: per-request dispatches each cost a host-link round trip
         (tens of ms over this tunnel) and dominated admission before
         batching (measured ~330 ms for an 8-request wave, vs ~60 ms
@@ -1024,16 +1030,24 @@ class Engine:
             off = req.resume_len  # tokens generated before this slot tenure
             if req.on_progress is not None:
                 req.on_progress(off + int(step_in[s]))
+            fin = bool(finish[s])
+            # empty-generation retry decision, hoisted ABOVE the streaming
+            # callback: a silently retried attempt must not emit its
+            # finished=True notification (a streaming consumer would stop
+            # listening while the engine regenerates unheard)
+            total_fin = off + int(end_idx[s])
+            will_retry = (fin and total_fin == 0
+                          and total_fin < int(max_new[s])
+                          and req.ensure_non_empty and req._attempts < 3)
             # streaming callback with newly generated tokens (global counts).
             # A finishing slot ALWAYS gets its final notification, even when
             # the chunk added no kept tokens (EOS on the chunk's first step
             # drops the token: n == emitted) - otherwise a consumer blocked
             # on finished=True waits forever.
-            if (req.on_tokens is not None
+            if (req.on_tokens is not None and not will_retry
                     and off + step_in[s] > req._emitted):
                 n = off + int(min(end_idx[s], step_in[s]))
                 lo = req._emitted
-                fin = bool(finish[s])
                 if n > lo or fin:
                     new_ids = self._acc_ids[s][lo - off : n - off]
                     if not self.ecfg.collect_hidden:
@@ -1083,8 +1097,7 @@ class Engine:
             self.slots[s] = None
             self.state = self.state._replace(
                 active=self.state.active.at[s].set(False))
-            if (total == 0 and reason == "eos" and req.ensure_non_empty
-                    and req._attempts < 3):
+            if will_retry:
                 # empty-generation retry: re-dispatch with the attempt index
                 # folded into the key (reference regenerates recursively,
                 # gpt.py:527-570)

@@ -355,7 +355,7 @@ class Generator:
     """Drives the jitted loop: bucketing, chunking, retry, output trimming."""
 
     def __init__(self, cfg: GPTConfig, gpt_params: dict, embed_params: dict,
-                 prefill_bucket: int = 32):
+                 prefill_bucket: int = 32, packed: Optional[dict] = None):
         self.cfg = cfg
         self.gpt_params = gpt_params
         self.embed_params = embed_params
@@ -363,11 +363,17 @@ class Generator:
         self._rng_counter = 0
         self._packed = {}
         if use_fused_step(cfg):
-            from ..ops.pallas_step import pack_step_params
+            if packed is not None:
+                # shared pre-packed slabs (~L*S*D*D bytes of HBM): the
+                # facade hands ONE copy to the generator and every engine
+                # tier instead of each packing its own
+                self._packed = packed
+            else:
+                from ..ops.pallas_step import pack_step_params
 
-            self._packed = pack_step_params(gpt_params, cfg,
-                                            int8=step_int8(),
-                                            int4=step_int4())
+                self._packed = pack_step_params(gpt_params, cfg,
+                                                int8=step_int8(),
+                                                int4=step_int4())
 
     def _pad_prompt(self, req: GenerateRequest):
         """Left-extend prompts to the bucketed length (padding stays left)."""

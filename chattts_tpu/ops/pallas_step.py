@@ -499,7 +499,7 @@ def decode_step_fused(
     wrows = D // 2 if int4 else D
     slab_bytes = wrows * D * np.dtype(packed["W"].dtype).itemsize
     ring_bytes = WRING * D * D * 2
-    BS = int(os.environ.get("CHATTTS_STEP_WBUNDLE", "1"))
+    BS = max(1, min(S, int(os.environ.get("CHATTTS_STEP_WBUNDLE", "1"))))
     while S % BS or 2 * BS * slab_bytes > ring_bytes:
         BS -= 1
     wring = max(2, ring_bytes // (BS * slab_bytes))

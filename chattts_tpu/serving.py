@@ -34,15 +34,27 @@ logger = get_logger("chattts.serving")
 
 
 class TTSService:
-    """Thread-safe concurrent synthesis over one loaded :class:`Chat`."""
+    """Thread-safe concurrent synthesis over one loaded :class:`Chat`.
+
+    The service's driver thread exclusively steps the capacity code engine
+    and the text engine.  While a service is attached, submit through the
+    service API; calling ``chat.infer(use_engine=True)`` concurrently on
+    the SAME chat would step a shared engine from a second thread (small
+    requests that route to the facade's private "fast" tier are safe).
+    """
 
     def __init__(self, chat: Chat):
         if not chat.has_loaded():
             raise ValueError("Chat must be loaded")
         self.chat = chat
-        # build both engines up front (lazy creation would race submitters)
-        chat._engine_for_code()
-        chat._engine_for_text()
+        # The driver owns a FIXED engine set, snapshotted here (lazy
+        # creation would race submitters).  The service always submits to
+        # the capacity code tier + the text engine; other tiers the facade
+        # creates lazily for its own direct calls (e.g. "fast") are stepped
+        # by their creating thread's loop and must never be stepped here
+        # too - Engine is not thread-safe, and re-scanning the tier dict
+        # would also race its mutation.
+        self._engs = [chat._engine_for_code(), chat._engine_for_text()]
         self._mu = threading.Lock()      # guards both engines + pending map
         self._work = threading.Event()
         self._pending: dict[str, "queue.Queue"] = {}
@@ -60,12 +72,7 @@ class TTSService:
     # -- driver ----------------------------------------------------------
 
     def _engines(self):
-        engs = []
-        c = self.chat
-        if getattr(c, "_text_engine", None) is not None:
-            engs.append(c._text_engine)
-        engs.extend(getattr(c, "_code_engines", {}).values())
-        return engs
+        return self._engs
 
     def _drive(self):
         while not self._stop:

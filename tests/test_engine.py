@@ -242,6 +242,19 @@ def test_ensure_non_empty_retries(tiny_config, params):
     eng2.generate([req("r1", False)])
     assert eng2.stats.get("retries") is None
 
+    # a streaming consumer must see EXACTLY ONE finished=True - after the
+    # last attempt - not one per silently retried empty attempt (a consumer
+    # stops listening at the first final notification)
+    eng3 = Engine(cfg, EngineConfig(max_num_seqs=2, max_prompt_len=16,
+                                    max_new_tokens=8, chunk_steps=4),
+                  params[0], eparams)
+    notes = []
+    r = req("r2", True)
+    r.on_tokens = lambda rid, ids, hid, fin: notes.append(fin)
+    eng3.generate([r])
+    assert eng3.stats.get("retries") == 3
+    assert [f for f in notes if f] == [True] and notes[-1] is True
+
 
 def test_preemption_admits_short_request(tiny_config, params):
     """Starvation control: with every slot held by long requests, a short
