@@ -97,7 +97,7 @@ def main():
                     ttfa = time.perf_counter() - t0
                 if ttfa is not None:
                     break
-            if attempt:
+            if attempt and ttfa is not None:
                 best = min(best, ttfa)
         return best
 

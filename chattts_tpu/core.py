@@ -214,8 +214,10 @@ class Chat:
         ``pack_step_params`` materializes ~L*S*D*D bytes (~377 MB bf16 at
         the real config) on HBM; the generator and every engine tier use
         byte-identical slabs, so the facade packs ONCE and hands the same
-        dict to all of them.  Keyed on the quantization env so a flip of
-        CHATTTS_STEP_INT8/INT4 between constructions still packs fresh.
+        dict to all of them.  Keyed on the quantization env (a flip of
+        CHATTTS_STEP_INT8/INT4 between constructions packs fresh) AND the
+        params object (a re-``load`` replaces ``gpt_params``; stale slabs
+        would silently decode with the previous load's weights).
         """
         from .engine.generate import step_int4, step_int8, use_fused_step
 
@@ -223,12 +225,12 @@ class Chat:
             return None
         key = (step_int8(), step_int4())
         cache = getattr(self, "_slab_cache", None)
-        if cache is None or cache[0] != key:
+        if cache is None or cache[0] != key or cache[2] is not self.gpt_params:
             from .ops.pallas_step import pack_step_params
 
             self._slab_cache = (key, pack_step_params(
                 self.gpt_params, self.config.gpt,
-                int8=key[0], int4=key[1]))
+                int8=key[0], int4=key[1]), self.gpt_params)
         return self._slab_cache[1]
 
     def _init_runtime(self):

@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import collections
 import functools
-import hashlib
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, NamedTuple, Optional
@@ -94,6 +93,15 @@ class EngineConfig:
     # a teacher-forced prompt extension (no work lost), giving round-robin
     # time slices under contention.
     preempt_after_chunks: Optional[int] = None
+
+    def __post_init__(self):
+        # the packed per-chunk id transfer carries at most chunk_steps_max
+        # ids per slot; a longer scheduling quantum would silently truncate
+        # the host-side id accumulator (see decode_chunk/_ingest)
+        if self.chunk_steps > self.chunk_steps_max:
+            raise ValueError(
+                f"chunk_steps ({self.chunk_steps}) must be <= "
+                f"chunk_steps_max ({self.chunk_steps_max})")
 
     @property
     def cache_len(self) -> int:

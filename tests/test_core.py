@@ -497,3 +497,29 @@ def test_use_engine_pipelined_long_incremental(engine_chat, monkeypatch):
     assert n > 100 * 512  # actually long
     assert abs(a[0].shape[0] - b[0].shape[0]) <= 1024
     np.testing.assert_allclose(a[0][:n], b[0][:n], atol=2e-4)
+
+
+def test_step_slabs_repack_on_reload(tiny_config, monkeypatch):
+    """A second load() must not reuse the first load's packed slabs: the
+    shared-slab cache is keyed on the quantization env AND the params
+    object identity (stale slabs would make the fused step decode with the
+    previous weights while prefill uses the new ones)."""
+    from chattts_tpu.engine import generate as gen_mod
+    from chattts_tpu.ops import pallas_step as ps
+
+    c = Chat(config=tiny_config)
+    c.load(source="random", seed=0)
+    monkeypatch.setattr(gen_mod, "use_fused_step", lambda cfg: True)
+    calls = []
+
+    def fake_pack(params, cfg, int8=False, int4=False):
+        calls.append(params)
+        return {"n": len(calls)}
+
+    monkeypatch.setattr(ps, "pack_step_params", fake_pack)
+    s1 = c._step_slabs()
+    assert c._step_slabs() is s1 and len(calls) == 1  # cached
+    assert calls[0] is c.gpt_params                   # packed CURRENT params
+    c.load(source="random", seed=1)                   # replaces gpt_params
+    s2 = c._step_slabs()
+    assert s2 is not s1 and calls[-1] is c.gpt_params  # repacked fresh

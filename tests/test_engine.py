@@ -716,3 +716,11 @@ def test_host_slot_key_matches_jax_fold_in():
         ref = np.asarray(jax.random.key_data(jax.random.fold_in(
             jax.random.PRNGKey(seed), att)), np.uint32)
         np.testing.assert_array_equal(_host_slot_key(seed, att), ref)
+
+
+def test_chunk_steps_exceeding_max_rejected():
+    """The packed per-chunk id transfer carries chunk_steps_max ids per
+    slot; a longer quantum would silently truncate the host-side id
+    accumulator, so the config must refuse it at construction."""
+    with pytest.raises(ValueError, match="chunk_steps"):
+        EngineConfig(chunk_steps=256, chunk_steps_max=128)
