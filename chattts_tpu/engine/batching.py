@@ -1005,6 +1005,7 @@ class Engine:
         st = self.state
         finish, active, end_idx, step_in, max_new, _ = self._status[:6]
         outputs: List[EngineOutput] = []
+        freed: List[int] = []  # slots released this harvest
         # generated ids already live on the host (self._acc_ids, fed by the
         # per-chunk packed transfer); only host-streaming / resumed hiddens
         # still need a bulk device read - pre-scan how much
@@ -1103,8 +1104,7 @@ class Engine:
                         hid = np.concatenate([req._resume_hiddens, hid])
             reason = "length" if total >= int(max_new[s]) else "eos"
             self.slots[s] = None
-            self.state = self.state._replace(
-                active=self.state.active.at[s].set(False))
+            freed.append(s)  # active flags clear in ONE batched scatter below
             if will_retry:
                 # empty-generation retry: re-dispatch with the attempt index
                 # folded into the key (reference regenerates recursively,
@@ -1125,6 +1125,13 @@ class Engine:
             # preemption time, so this does not double count
             self.stats["tokens_generated"] += total
             self.stats["requests_finished"] += 1
+        if freed:
+            # one batched scatter for every slot released this harvest: the
+            # per-slot ``.at[s].set`` eager dispatches each paid a ~3-8 ms
+            # host-link round trip (device-trace finding: 8 finishing slots
+            # cost ~25-40 ms of device idle in the harvest tail)
+            self.state = self.state._replace(
+                active=self.state.active.at[np.asarray(freed)].set(False))
         if dev_gather:
             hb = st.hiddens[jnp.asarray([s for _, s, _ in dev_gather])]
             for row, (oi, _, n) in enumerate(dev_gather):
