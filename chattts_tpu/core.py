@@ -498,6 +498,33 @@ class Chat:
         fg = self.config.runtime.stream_first_guard
         fg = None if fg is None else min(fg, guard)
         sd = None
+
+        def _mk_device_sd():
+            return DeviceStreamingDecoder(
+                self._device_window_fn(window), len(batch),
+                self.config.gpt.hidden_size,
+                wire_int16=self.config.runtime.wire_int16,
+                ctx=ctx, guard=guard, window=window, first_guard=fg)
+
+        # window speculation: right after the generator ENQUEUES a decode
+        # chunk, enqueue the vocode of the window that chunk will allow and
+        # start its PCM copy - both then overlap the chunk's blocking
+        # status round trip instead of serializing after it (device trace:
+        # TTFA was one chunk of compute + three sequential ~25 ms link
+        # round trips; this folds the vocode+PCM trip into the status one).
+        # Fires only on the generator path; the callback sees the full
+        # hidden buffer (one compiled vocode shape across chunks).
+        def on_dispatch(st, hi):
+            nonlocal sd
+            if not use_decoder:
+                return
+            if sd is None:
+                sd = _mk_device_sd()
+            if isinstance(sd, DeviceStreamingDecoder):
+                sd.speculate_window(st.hiddens, hi, st.end_idx)
+
+        if not self.config.runtime.stream_window_ahead:
+            on_dispatch = None
         pending = np.zeros((len(batch), 0), np.float32)
         pass_batch_count = 0
         last = None  # (device feats, n) or np items for the tail flush
@@ -508,7 +535,8 @@ class Chat:
         # ~one-chunk shift in emission latency, not a rate change)
         for restarted, result in self._attempt_stream(
                 self._infer_code(batch, True, use_decoder, params,
-                                 speculate=True, speculate_from=2)):
+                                 speculate=True, speculate_from=2,
+                                 on_dispatch=on_dispatch)):
             if restarted:
                 sd = None
                 pending = np.zeros((len(batch), 0), np.float32)
@@ -516,11 +544,7 @@ class Chat:
             final = bool(result.finished.all())
             if use_decoder and result.hiddens_dev is not None:
                 if sd is None:
-                    sd = DeviceStreamingDecoder(
-                        self._device_window_fn(window), len(batch),
-                        self.config.gpt.hidden_size,
-                        wire_int16=self.config.runtime.wire_int16,
-                        ctx=ctx, guard=guard, window=window, first_guard=fg)
+                    sd = _mk_device_sd()
                 last = ("dev", result.hiddens_dev, result.hid_n,
                         result.end_dev)
                 chunk = sd.update_dev(result.hiddens_dev, result.hid_n,
@@ -1225,7 +1249,8 @@ class Chat:
                     params: "Chat.InferCodeParams",
                     stream_batch_override: Optional[int] = None,
                     speculate: bool = False,
-                    speculate_from: int = 0):
+                    speculate_from: int = 0,
+                    on_dispatch=None):
         cfg = self.config.gpt
         inputs = self._code_inputs(text, params)
         ids, attn, tmask, temperature, spk_vec = inputs
@@ -1265,6 +1290,8 @@ class Chat:
             return_hidden=return_hidden,
             speculate=speculate,
             speculate_from=speculate_from,
+            on_dispatch=on_dispatch,  # generator-only; the engine path
+            # above returns earlier (its vocode rides harvest instead)
         )
         bar = self._progress_bar(params, len(text), "infer_code",
                                  per_request=False)

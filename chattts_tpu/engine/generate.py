@@ -349,6 +349,14 @@ class GenerateRequest:
     # sync already exists, so reporting is free); the facade wires it to
     # tqdm for show_tqdm (reference gpt.py:383-390)
     on_progress: Optional[callable] = None
+    # dispatch hook fn(newest GenState, predicted kept-step count), fired
+    # right after each decode chunk is ENQUEUED - before the blocking
+    # status read.  A streaming consumer uses it to enqueue its vocode
+    # window + async PCM copy so those transfers overlap the status round
+    # trip (DeviceStreamingDecoder.speculate_window).  The predicted count
+    # is exact unless generation fully finishes mid-chunk; consumers must
+    # guard consumption accordingly.
+    on_dispatch: Optional[callable] = None
 
 
 class Generator:
@@ -452,6 +460,8 @@ class Generator:
                 st, status, ids_gen = chunk_jit(
                     self.gpt_params, self.embed_params, st, sp,
                     step_end, eos_text, self._packed)
+                if req.on_dispatch is not None:
+                    req.on_dispatch(st, int(step_end))
                 # ONE host sync per chunk: scheduling scalars + generated ids
                 status_np, ids_np = jax.device_get((status, ids_gen))
                 done = int(status_np[0])
@@ -506,6 +516,8 @@ class Generator:
             st = st2
             pending.append((s_d, i_d))
             next_hi = hi
+            if req.on_dispatch is not None:
+                req.on_dispatch(st, hi)
 
         status_np = ids_np = None
         dispatch()

@@ -209,6 +209,11 @@ class DeviceStreamingDecoder(StreamingDecoder):
         self._end_dev = None
         self._n = 0
         self._feats = np.zeros((batch, 0, 1), np.float32)  # unused storage
+        # window speculation (speculate_window): decoded-ahead sample
+        # windows keyed by (emitted, lo, hi), host copies in flight
+        self._specs: dict = {}
+        self._plan_e = 0  # predicted ``emitted`` after speculated chunks
+        self._plan_ns: list = []  # speculated chunk counts not yet consumed
 
     @property
     def available(self) -> int:
@@ -232,14 +237,84 @@ class DeviceStreamingDecoder(StreamingDecoder):
             self._end_dev = end_dev
         self._bsz = feats_dev.shape[0]
         self._n = max(self._n, int(n))
-        return self._walk(self._n, final)
+        out = self._walk(self._n, final)
+        self._plan_e = self.emitted  # reconcile the speculation plan
+        return out
 
     def update(self, feats_list, final: bool = False) -> np.ndarray:
         raise TypeError("device decoder consumes update_dev()")
 
+    def _sim_walk(self, e: int, n: int) -> int:
+        """Predict ``emitted`` after a NON-final ``_walk(n)`` from ``e`` -
+        the emission plan is a pure function of (emitted, n, geometry)."""
+        g = self.first_guard if e == 0 else self.guard
+        target = n - g
+        while e < target:
+            lo = max(0, e - self.ctx)
+            hi = min(n, lo + self.window)
+            emit_hi = min(hi - g, target)
+            if emit_hi <= e:
+                break
+            e = emit_hi
+        return e
+
+    def speculate_window(self, feats_dev, n: int, end_dev=None) -> None:
+        """Dispatch the next emission window AHEAD of the chunk status read.
+
+        Decode chunks advance in host-predictable step counts, and the
+        emission plan depends only on (emitted, n, geometry) - so right
+        after chunk k is *dispatched* the consumer already knows which
+        window ``_walk`` will decode when chunk k's status arrives.
+        Dispatching that window decode + async PCM copy here makes the
+        sample transfer overlap the blocking status round trip (~25 ms
+        on this link) instead of serializing after it - the main
+        time-to-first-audio lever (device trace: TTFA was chunk compute
+        plus THREE sequential link round trips; this removes one).
+
+        Exactness: a speculated window is consumed (``_take_spec``) only
+        when the inline call's (emitted, lo, hi, pad_left=0) arguments
+        match the speculated key - same jitted fn + same arguments =
+        bit-identical output.  Content under the window is stable between
+        speculation and consumption: generation buffers are append-only
+        below ``n``, and the end-mask agrees because ``hi <= n`` keeps
+        unfinished rows (end >= n) unmasked while finished rows' ends
+        are frozen.  A wrong prediction (generation finished mid-chunk,
+        empty-generation restart) just leaves an unconsumed entry.
+
+        ``feats_dev`` may be the FULL generation buffer (one compiled
+        shape across chunks) - the window fn masks positions >= hi.
+        """
+        n = int(n)
+        e = max(self.emitted, self._plan_e)
+        g = self.first_guard if e == 0 else self.guard
+        lo = max(0, e - self.ctx)
+        hi = min(n, lo + self.window)
+        emit_hi = min(hi - g, n - g)
+        if emit_hi > e and (e, lo, hi) not in self._specs:
+            wav = self._decode_window_dev(feats_dev, lo, hi, 0, end_dev)
+            copy_to_host_async(wav)
+            self._specs[(e, lo, hi)] = wav
+            while len(self._specs) > 3:  # bound in-flight windows
+                self._specs.pop(next(iter(self._specs)))
+        self._plan_e = self._sim_walk(e, n)
+
+    def _take_spec(self, lo: int, hi: int, pad_left: int):
+        """Pop a speculated window matching the inline decode arguments."""
+        if pad_left or not self._specs:
+            return None
+        wav = self._specs.pop((self.emitted, lo, hi), None)
+        if self._specs:
+            # entries planned for an already-passed emitted state can
+            # never match again (emitted is monotonic)
+            self._specs = {k: v for k, v in self._specs.items()
+                           if k[0] >= self.emitted}
+        return wav
+
     def _decode_window(self, lo: int, hi: int, pad_left: int) -> np.ndarray:
-        wav = self._decode_window_dev(self._feats_dev, lo, hi, pad_left,
-                                      self._end_dev)
+        wav = self._take_spec(lo, hi, pad_left)
+        if wav is None:
+            wav = self._decode_window_dev(self._feats_dev, lo, hi, pad_left,
+                                          self._end_dev)
         out = np.asarray(wav)
         if self._wire_int16:
             return out.astype(np.float32) / 32767.0
@@ -257,6 +332,9 @@ class AsyncDeviceWindows(DeviceStreamingDecoder):
     int16 wire scaling is the caller's job at assembly."""
 
     def _decode_window(self, lo: int, hi: int, pad_left: int):
+        wav = self._take_spec(lo, hi, pad_left)
+        if wav is not None:
+            return wav
         return self._decode_window_dev(self._feats_dev, lo, hi, pad_left,
                                        self._end_dev)
 

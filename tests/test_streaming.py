@@ -221,3 +221,137 @@ def test_incremental_chain_matches_full(tiny_config, rng):
     np.testing.assert_allclose(stream[:, :valid], wav_full[:, :valid],
                                atol=1e-5)
 
+
+
+def _counted_dev_window(decode_jit, B, C, window, counter):
+    """A device window fn with the facade's slice/pad/mask/roll semantics
+    (core._device_window_fn) and an invocation counter."""
+    def dev_window(feats_dev, lo, hi, pad_left, end=None):
+        counter[0] += 1
+        f = jnp.pad(jnp.asarray(feats_dev), ((0, 0), (0, window), (0, 0)))
+        sl = jax.lax.dynamic_slice(f, (0, lo, 0), (B, window, C))
+        t = jnp.arange(window)
+        keep = (t < (hi - lo))[None, :]
+        if end is not None:
+            keep = keep & ((lo + t)[None, :] < jnp.asarray(end)[:, None])
+        sl = jnp.where(keep[:, :, None], sl, 0.0)
+        sl = jnp.roll(sl, pad_left, axis=1)
+        sl = jnp.where((t >= pad_left)[None, :, None], sl, 0.0)
+        return decode_jit(sl)
+    return dev_window
+
+
+def test_speculated_windows_match_inline(pipeline, tiny_config, rng):
+    """speculate_window decoded ahead of the status read: consumed windows
+    replace the inline dispatch (call counts equal) and the emitted audio
+    is identical - the speculation passes the FULL generation buffer while
+    the inline path passes per-chunk slices, so this also pins that the
+    window fn's masking makes both views equivalent."""
+    from chattts_tpu.engine.streaming import DeviceStreamingDecoder
+
+    decode_jit, _ = pipeline
+    B, T, C = 2, 80, tiny_config.decoder.stack.idim * 2
+    window = 96
+    feats = rng.standard_normal((B, T, C)).astype(np.float32)
+    # generation buffer: longer than T, garbage beyond the kept positions
+    buf = np.concatenate(
+        [feats, rng.standard_normal((B, 48, C)).astype(np.float32)], axis=1)
+    full_buf = jnp.asarray(buf)
+    end_dev = jnp.full((B,), T, jnp.int32)
+
+    na, nb = [0], [0]
+    spec = DeviceStreamingDecoder(
+        _counted_dev_window(decode_jit, B, C, window, na), B, C,
+        ctx=40, guard=32, window=window)
+    plain = DeviceStreamingDecoder(
+        _counted_dev_window(decode_jit, B, C, window, nb), B, C,
+        ctx=40, guard=32, window=window)
+
+    outs_a, outs_b = [], []
+    step = 16
+    for hi in range(step, T + step, step):
+        hi = min(hi, T)
+        final = hi == T
+        if not final:
+            # fired at chunk-dispatch time in the real system (on_dispatch)
+            spec.speculate_window(full_buf, hi, end_dev)
+        outs_a.append(spec.update_dev(jnp.asarray(feats[:, :hi]), hi,
+                                      final=final, end_dev=end_dev))
+        outs_b.append(plain.update_dev(jnp.asarray(feats[:, :hi]), hi,
+                                       final=final, end_dev=end_dev))
+    a = np.concatenate(outs_a, axis=1)
+    b = np.concatenate(outs_b, axis=1)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # every speculated window was consumed: no double decode anywhere
+    assert na[0] == nb[0]
+    assert not spec._specs
+
+
+def test_speculation_wrong_prediction_is_exact(pipeline, tiny_config, rng):
+    """A speculation for a chunk that turns out final (generation finished
+    mid-chunk) is discarded on the plan mismatch; output stays exact."""
+    from chattts_tpu.engine.streaming import DeviceStreamingDecoder
+
+    decode_jit, _ = pipeline
+    B, C = 2, tiny_config.decoder.stack.idim * 2
+    window = 96
+    T = 50
+    feats = rng.standard_normal((B, 64, C)).astype(np.float32)
+    end_dev = jnp.full((B,), T, jnp.int32)
+
+    cnt = [0]
+    spec = DeviceStreamingDecoder(
+        _counted_dev_window(decode_jit, B, C, window, cnt), B, C,
+        ctx=40, guard=32, window=window)
+    plain = DeviceStreamingDecoder(
+        _counted_dev_window(decode_jit, B, C, window, [0]), B, C,
+        ctx=40, guard=32, window=window)
+
+    # host predicted the chunk would reach 64 steps; it finished at 50
+    spec.speculate_window(jnp.asarray(feats), 64, end_dev)
+    a = spec.update_dev(jnp.asarray(feats[:, :T]), T, final=True,
+                        end_dev=end_dev)
+    b = plain.update_dev(jnp.asarray(feats[:, :T]), T, final=True,
+                         end_dev=end_dev)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sim_walk_predicts_emitted(rng):
+    """_sim_walk (the host-side plan used to key speculations ahead of the
+    unconsumed chunk) exactly predicts _walk's non-final advance."""
+    from chattts_tpu.engine.streaming import DeviceStreamingDecoder
+
+    B = 1
+    stub = lambda f, lo, hi, pl, end=None: np.zeros(
+        (B, (2 * 96 - 1) * 256), np.float32)
+    for fg in (None, 8):
+        sd = DeviceStreamingDecoder(stub, B, 4, ctx=40, guard=32, window=96,
+                                    first_guard=fg)
+        n = 0
+        for step in (7, 16, 3, 40, 11, 64, 5):
+            n += step
+            pred = sd._sim_walk(sd.emitted, n)
+            sd.update_dev(np.zeros((B, n, 4), np.float32), n, final=False)
+            assert sd.emitted == pred, (fg, n)
+
+
+def test_stream_window_ahead_facade_equivalence(tiny_config):
+    """Facade streaming with runtime.stream_window_ahead on vs off: same
+    seeds, same audio - the speculated vocode windows are exact."""
+    from chattts_tpu.core import Chat
+
+    outs = {}
+    for ahead in (True, False):
+        cfg = tiny_config.with_runtime(stream_window_ahead=ahead)
+        chat = Chat(config=cfg)
+        chat.load(source="random", seed=0)
+        p = Chat.InferCodeParams(max_new_token=24, min_new_token=20,
+                                 manual_seed=3, stream_batch=6,
+                                 pass_first_n_batches=0, stream_speed=2048)
+        chunks = [c for c in chat.infer("stream me", stream=True,
+                                        skip_refine_text=True,
+                                        params_infer_code=p) if c.size]
+        outs[ahead] = np.concatenate(chunks, axis=1)
+    assert outs[True].shape == outs[False].shape
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
