@@ -518,6 +518,11 @@ class Chat:
             nonlocal sd
             if not use_decoder:
                 return
+            if hi >= params.max_new_token:
+                # provably the final chunk: the final walk right-aligns
+                # its window (pad_left), so a speculation can never be
+                # consumed - skip the wasted vocode
+                return
             if sd is None:
                 sd = _mk_device_sd()
             if isinstance(sd, DeviceStreamingDecoder):

@@ -212,8 +212,12 @@ class DeviceStreamingDecoder(StreamingDecoder):
         # window speculation (speculate_window): decoded-ahead sample
         # windows keyed by (emitted, lo, hi), host copies in flight
         self._specs: dict = {}
-        self._plan_e = 0  # predicted ``emitted`` after speculated chunks
-        self._plan_ns: list = []  # speculated chunk counts not yet consumed
+        self._plan_e = 0  # predicted ``emitted`` after in-flight chunks
+        # strictly-increasing chunk counts speculated but not yet consumed
+        # by update_dev; _plan_e is re-derived from (emitted, _plan_ns) at
+        # each consume so a dispatch-ahead chunk's plan survives the
+        # consume of the chunk before it
+        self._plan_ns: list = []
 
     @property
     def available(self) -> int:
@@ -238,7 +242,22 @@ class DeviceStreamingDecoder(StreamingDecoder):
         self._bsz = feats_dev.shape[0]
         self._n = max(self._n, int(n))
         out = self._walk(self._n, final)
-        self._plan_e = self.emitted  # reconcile the speculation plan
+        # Reconcile the speculation plan.  Chunks are consumed in order,
+        # so any speculated count <= the consumed n is behind us
+        # (including a mispredicted final chunk's larger count - final
+        # clears everything); the plan position is then re-derived from
+        # the TRUE emitted state through the still-in-flight chunks, so
+        # a dispatch-ahead speculation issued before this consume keeps
+        # its (correct) forward-keyed plan instead of being clobbered.
+        if final:
+            self._plan_ns = []
+            self._specs = {}
+        else:
+            self._plan_ns = [m for m in self._plan_ns if m > self._n]
+        e = self.emitted
+        for m in self._plan_ns:
+            e = self._sim_walk(e, m)
+        self._plan_e = e
         return out
 
     def update(self, feats_list, final: bool = False) -> np.ndarray:
@@ -285,6 +304,9 @@ class DeviceStreamingDecoder(StreamingDecoder):
         shape across chunks) - the window fn masks positions >= hi.
         """
         n = int(n)
+        last = self._plan_ns[-1] if self._plan_ns else self._n
+        if n <= last:
+            return  # no-op speculative chunk: adds no new positions
         e = max(self.emitted, self._plan_e)
         g = self.first_guard if e == 0 else self.guard
         lo = max(0, e - self.ctx)
@@ -296,6 +318,7 @@ class DeviceStreamingDecoder(StreamingDecoder):
             self._specs[(e, lo, hi)] = wav
             while len(self._specs) > 3:  # bound in-flight windows
                 self._specs.pop(next(iter(self._specs)))
+        self._plan_ns.append(n)
         self._plan_e = self._sim_walk(e, n)
 
     def _take_spec(self, lo: int, hi: int, pad_left: int):

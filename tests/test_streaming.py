@@ -288,6 +288,56 @@ def test_speculated_windows_match_inline(pipeline, tiny_config, rng):
     assert not spec._specs
 
 
+def test_speculation_dispatch_ahead_order(pipeline, tiny_config, rng):
+    """The REAL pipeline ordering (_run_speculative): chunk k+1's
+    speculation fires BEFORE chunk k's status is consumed (update_dev).
+    Every steady-state window must still be served from a speculation -
+    call counts equal, audio identical.  Regression: update_dev used to
+    clobber the dispatch-ahead plan (_plan_e = emitted), mis-keying every
+    speculation after the first and double-decoding every window."""
+    from chattts_tpu.engine.streaming import DeviceStreamingDecoder
+
+    decode_jit, _ = pipeline
+    B, T, C = 2, 80, tiny_config.decoder.stack.idim * 2
+    window = 96
+    feats = rng.standard_normal((B, T, C)).astype(np.float32)
+    full_buf = jnp.asarray(np.concatenate(
+        [feats, rng.standard_normal((B, 48, C)).astype(np.float32)], axis=1))
+    end_dev = jnp.full((B,), T, jnp.int32)
+
+    na, nb = [0], [0]
+    spec = DeviceStreamingDecoder(
+        _counted_dev_window(decode_jit, B, C, window, na), B, C,
+        ctx=40, guard=32, window=window)
+    plain = DeviceStreamingDecoder(
+        _counted_dev_window(decode_jit, B, C, window, nb), B, C,
+        ctx=40, guard=32, window=window)
+
+    ns = list(range(16, T + 1, 16))  # chunk boundaries
+    outs_a, outs_b = [], []
+    spec.speculate_window(full_buf, ns[0], end_dev)
+    for k, n in enumerate(ns):
+        final = k == len(ns) - 1
+        if k + 1 < len(ns) and ns[k + 1] < T:
+            # dispatch-ahead: next chunk enqueued before this consume.
+            # The provably-final chunk (reaches max steps) is not
+            # speculated - its walk right-aligns (facade on_dispatch
+            # skips it the same way).
+            spec.speculate_window(full_buf, ns[k + 1], end_dev)
+        outs_a.append(spec.update_dev(jnp.asarray(feats[:, :n]), n,
+                                      final=final, end_dev=end_dev))
+        outs_b.append(plain.update_dev(jnp.asarray(feats[:, :n]), n,
+                                       final=final, end_dev=end_dev))
+    a = np.concatenate(outs_a, axis=1)
+    b = np.concatenate(outs_b, axis=1)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # every non-final window came from a consumed speculation: the
+    # inline path never re-decoded one (equal total invocations)
+    assert na[0] == nb[0]
+    assert not spec._specs
+
+
 def test_speculation_wrong_prediction_is_exact(pipeline, tiny_config, rng):
     """A speculation for a chunk that turns out final (generation finished
     mid-chunk) is discarded on the plan mismatch; output stays exact."""
