@@ -145,12 +145,14 @@ class RuntimeConfig:
     # public API still returns float32 (dequantized).  Serving and bench
     # enable it; default off to keep library numerics bit-identical.
     wire_int16: bool = False
-    # streaming: dispatch each emission window's vocode + async PCM copy
-    # right after the decode chunk is enqueued (before its status read),
-    # so the sample transfer overlaps the status round trip.  Exact -
-    # consumption requires an argument-level plan match (see
-    # DeviceStreamingDecoder.speculate_window); off = always decode
-    # windows inline after the status arrives.
+    # dispatch each emission window's vocode + async PCM copy right after
+    # the decode chunk is enqueued (before its status read), so the sample
+    # transfer overlaps the status round trip; the provably-final chunk
+    # speculates the whole final flush (streaming tail windows / the
+    # pipelined path's flush window).  Exact - consumption requires an
+    # argument-level plan match (see DeviceStreamingDecoder
+    # .speculate_window/.speculate_final); off = always decode windows
+    # inline after the status arrives.
     stream_window_ahead: bool = True
     # non-streaming synthesis pipelines chunked decode with windowed
     # vocoding and async PCM fetches (exact guard - no first-emission

@@ -518,15 +518,16 @@ class Chat:
             nonlocal sd
             if not use_decoder:
                 return
-            if hi >= params.max_new_token:
-                # provably the final chunk: the final walk right-aligns
-                # its window (pad_left), so a speculation can never be
-                # consumed - skip the wasted vocode
-                return
             if sd is None:
                 sd = _mk_device_sd()
             if isinstance(sd, DeviceStreamingDecoder):
-                sd.speculate_window(st.hiddens, hi, st.end_idx)
+                if hi >= params.max_new_token:
+                    # provably the final chunk: speculate the final flush
+                    # (right-aligned tail windows included) instead of the
+                    # mid-stream plan
+                    sd.speculate_final(st.hiddens, hi, st.end_idx)
+                else:
+                    sd.speculate_window(st.hiddens, hi, st.end_idx)
 
         if not self.config.runtime.stream_window_ahead:
             on_dispatch = None
@@ -801,13 +802,38 @@ class Chat:
         fed = 0
         emitted = 0  # samples emitted by the incremental stream
         broken = False  # device hiddens unavailable: one-shot at the end
+
+        # final-flush speculation: when the dispatched chunk provably ends
+        # generation (predicted kept count reaches max_new), the flush
+        # window's arguments (lo, n) are already known - dispatch its
+        # vocode + async PCM copy so they overlap the final status round
+        # trip instead of serializing after it.  The enqueued decode reads
+        # the generation buffer AFTER the final chunk writes it (in-order
+        # device execution) and st.end_idx's post-chunk values, so a hit
+        # is bit-identical to the inline flush; a miss (a row EOSed early,
+        # shrinking n) just falls back.
+        stash: List = [None]  # (lo, n, device wav) or None
+
+        def on_dispatch(st, hi):
+            if incr is None or hi < params.max_new_token:
+                return
+            n_p, lo_p = int(hi), int(hi) - flush_w
+            if lo_p < 0:
+                return
+            wav = self._device_window_fn(flush_w)(
+                st.hiddens, lo_p, n_p, 0, st.end_idx)
+            stash[0] = (lo_p, n_p, wav)
+
+        if not rt.stream_window_ahead:
+            on_dispatch = None
         for restarted, result in self._attempt_stream(self._infer_code(
                 batch, True, True, params, stream_batch_override=chunk,
-                speculate=True)):
+                speculate=True, on_dispatch=on_dispatch)):
             if restarted:
                 parts.clear()
                 fed = emitted = 0
                 sd = None
+                stash[0] = None  # flush content from the discarded attempt
                 if incr is not None:
                     state = init_state()
             ends = [ids.shape[0] for ids in result.ids]
@@ -875,8 +901,11 @@ class Chat:
             # are exact from guard positions in; emission starts well past
             # that (checked above)
             lo = n - flush_w
-            wav_w = self._device_window_fn(flush_w)(
-                last[0], lo, n, 0, last[2])
+            if stash[0] is not None and stash[0][:2] == (lo, n):
+                wav_w = stash[0][2]  # speculated flush, already in flight
+            else:
+                wav_w = self._device_window_fn(flush_w)(
+                    last[0], lo, n, 0, last[2])
             tail = wav_w[:, emitted - lo * spc:]
             copy_to_host_async(tail)
             parts.append(tail)

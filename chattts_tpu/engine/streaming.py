@@ -135,13 +135,18 @@ class StreamingDecoder:
     def _batch(self) -> int:
         return self._feats.shape[0]
 
-    def _walk(self, n: int, final: bool) -> np.ndarray:
-        """Advance emission as far as the guard allows over [0, n)."""
-        g = self.first_guard if self.emitted == 0 else self.guard
+    def _plan_walk(self, e: int, n: int, final: bool):
+        """Yield the window decodes a ``_walk(n, final)`` starting at
+        ``emitted == e`` performs: (e, lo, hi, emit_hi, pad_left, is_last).
+
+        A PURE function of (e, n, geometry) - the walk itself consumes it,
+        and the speculation paths replay it ahead of time to key
+        decoded-ahead windows (the prediction and the consumption can
+        therefore never drift apart)."""
+        g = self.first_guard if e == 0 else self.guard
         target = n if final else n - g
-        out = []
-        while self.emitted < target:
-            lo = max(0, self.emitted - self.ctx)
+        while e < target:
+            lo = max(0, e - self.ctx)
             hi = min(n, lo + self.window)
             is_last = final and hi == n
             if is_last:
@@ -154,17 +159,24 @@ class StreamingDecoder:
                 # gets padded matters.
                 lo = max(0, hi - self.window)
             emit_hi = hi if is_last else min(hi - g, target)
-            if emit_hi <= self.emitted:
+            if emit_hi <= e:
                 break  # window cannot make progress (guard >= window - ctx)
-            # left padding is only safe when the emission start is at least a
-            # receptive field away from it; very short utterances fall back
-            # to right padding - the same zero-pad tail the reference's
+            # left padding is only safe when the emission start is at least
+            # a receptive field away from it; very short utterances fall
+            # back to right padding - the same zero-pad tail the reference's
             # batched decode produces (core.py:522-530 pads to batch max)
             pad_left = (self.window - (hi - lo)
-                        if (is_last and self.emitted - lo >= self.guard)
-                        else 0)
+                        if (is_last and e - lo >= self.guard) else 0)
+            yield e, lo, hi, emit_hi, pad_left, is_last
+            e = emit_hi
+
+    def _walk(self, n: int, final: bool) -> np.ndarray:
+        """Advance emission as far as the guard allows over [0, n)."""
+        out = []
+        for e, lo, hi, emit_hi, pad_left, is_last in self._plan_walk(
+                self.emitted, n, final):
             wav = self._decode_window(lo, hi, pad_left)
-            a = (pad_left + self.emitted - lo) * SAMPLES_PER_HIDDEN
+            a = (pad_left + e - lo) * SAMPLES_PER_HIDDEN
             b = (pad_left + emit_hi - lo) * SAMPLES_PER_HIDDEN
             if is_last:
                 # true signal ends at frame 2*(pad_left + hi - lo); its last
@@ -264,17 +276,9 @@ class DeviceStreamingDecoder(StreamingDecoder):
         raise TypeError("device decoder consumes update_dev()")
 
     def _sim_walk(self, e: int, n: int) -> int:
-        """Predict ``emitted`` after a NON-final ``_walk(n)`` from ``e`` -
-        the emission plan is a pure function of (emitted, n, geometry)."""
-        g = self.first_guard if e == 0 else self.guard
-        target = n - g
-        while e < target:
-            lo = max(0, e - self.ctx)
-            hi = min(n, lo + self.window)
-            emit_hi = min(hi - g, target)
-            if emit_hi <= e:
-                break
-            e = emit_hi
+        """Predict ``emitted`` after a NON-final ``_walk(n)`` from ``e``."""
+        for step in self._plan_walk(e, n, False):
+            e = step[3]  # emit_hi
         return e
 
     def speculate_window(self, feats_dev, n: int, end_dev=None) -> None:
@@ -308,24 +312,53 @@ class DeviceStreamingDecoder(StreamingDecoder):
         if n <= last:
             return  # no-op speculative chunk: adds no new positions
         e = max(self.emitted, self._plan_e)
-        g = self.first_guard if e == 0 else self.guard
-        lo = max(0, e - self.ctx)
-        hi = min(n, lo + self.window)
-        emit_hi = min(hi - g, n - g)
-        if emit_hi > e and (e, lo, hi) not in self._specs:
-            wav = self._decode_window_dev(feats_dev, lo, hi, 0, end_dev)
-            copy_to_host_async(wav)
-            self._specs[(e, lo, hi)] = wav
-            while len(self._specs) > 3:  # bound in-flight windows
-                self._specs.pop(next(iter(self._specs)))
+        for e0, lo, hi, _, pad_left, _ in self._plan_walk(e, n, False):
+            key = (e0, lo, hi, pad_left)
+            if key not in self._specs:
+                wav = self._decode_window_dev(feats_dev, lo, hi, pad_left,
+                                              end_dev)
+                copy_to_host_async(wav)
+                self._specs[key] = wav
+                while len(self._specs) > 4:  # bound in-flight windows
+                    self._specs.pop(next(iter(self._specs)))
         self._plan_ns.append(n)
         self._plan_e = self._sim_walk(e, n)
 
+    def speculate_final(self, feats_dev, n: int, end_dev=None) -> None:
+        """Dispatch the FINAL flush's windows at final-chunk dispatch time.
+
+        When the host knows the chunk it just enqueued ends generation
+        (its predicted kept-step count reaches max_new), the final
+        ``_walk(n, final=True)`` plan - including the right-aligned
+        pad_left tail windows - is already determined.  Dispatching those
+        vocodes + async PCM copies here overlaps the last chunk's status
+        round trip AND the final assembly's serial vocode tail.  Same
+        exactness contract as ``speculate_window``: entries are consumed
+        only on an exact (emitted, lo, hi, pad_left) match, and the
+        enqueued decodes read the generation buffer AFTER the final chunk
+        writes it (in-order device execution).  A misprediction (a row
+        EOSed mid-chunk, shrinking the kept max) strands the entries,
+        which the final consume then clears.
+
+        Unbounded on purpose (unlike the in-flight window bound): the
+        flush may span several windows and every entry is consumed or
+        cleared by the final ``update_dev``.
+        """
+        n = int(n)
+        e = max(self.emitted, self._plan_e)
+        for e0, lo, hi, _, pad_left, _ in self._plan_walk(e, n, True):
+            key = (e0, lo, hi, pad_left)
+            if key not in self._specs:
+                wav = self._decode_window_dev(feats_dev, lo, hi, pad_left,
+                                              end_dev)
+                copy_to_host_async(wav)
+                self._specs[key] = wav
+
     def _take_spec(self, lo: int, hi: int, pad_left: int):
         """Pop a speculated window matching the inline decode arguments."""
-        if pad_left or not self._specs:
+        if not self._specs:
             return None
-        wav = self._specs.pop((self.emitted, lo, hi), None)
+        wav = self._specs.pop((self.emitted, lo, hi, pad_left), None)
         if self._specs:
             # entries planned for an already-passed emitted state can
             # never match again (emitted is monotonic)

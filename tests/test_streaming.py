@@ -318,12 +318,15 @@ def test_speculation_dispatch_ahead_order(pipeline, tiny_config, rng):
     spec.speculate_window(full_buf, ns[0], end_dev)
     for k, n in enumerate(ns):
         final = k == len(ns) - 1
-        if k + 1 < len(ns) and ns[k + 1] < T:
+        if k + 1 < len(ns):
             # dispatch-ahead: next chunk enqueued before this consume.
-            # The provably-final chunk (reaches max steps) is not
-            # speculated - its walk right-aligns (facade on_dispatch
-            # skips it the same way).
-            spec.speculate_window(full_buf, ns[k + 1], end_dev)
+            # The provably-final chunk speculates the FINAL flush plan
+            # (right-aligned pad_left windows) - facade on_dispatch does
+            # the same split on hi >= max_new.
+            if ns[k + 1] < T:
+                spec.speculate_window(full_buf, ns[k + 1], end_dev)
+            else:
+                spec.speculate_final(full_buf, ns[k + 1], end_dev)
         outs_a.append(spec.update_dev(jnp.asarray(feats[:, :n]), n,
                                       final=final, end_dev=end_dev))
         outs_b.append(plain.update_dev(jnp.asarray(feats[:, :n]), n,
@@ -332,8 +335,38 @@ def test_speculation_dispatch_ahead_order(pipeline, tiny_config, rng):
     b = np.concatenate(outs_b, axis=1)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1e-5)
-    # every non-final window came from a consumed speculation: the
-    # inline path never re-decoded one (equal total invocations)
+    # EVERY window (final flush included) came from a consumed
+    # speculation: the inline path never re-decoded one
+    assert na[0] == nb[0]
+    assert not spec._specs
+
+
+def test_speculate_final_multi_window_flush(pipeline, tiny_config, rng):
+    """A final flush spanning several windows (nothing emitted yet, long
+    tail): speculate_final pre-dispatches the whole plan and the final
+    update consumes every entry; audio matches the plain decoder."""
+    from chattts_tpu.engine.streaming import DeviceStreamingDecoder
+
+    decode_jit, _ = pipeline
+    B, T, C = 2, 120, tiny_config.decoder.stack.idim * 2
+    window = 96
+    feats = rng.standard_normal((B, T, C)).astype(np.float32)
+    buf = jnp.asarray(feats)
+    end_dev = jnp.full((B,), T, jnp.int32)
+
+    na, nb = [0], [0]
+    spec = DeviceStreamingDecoder(
+        _counted_dev_window(decode_jit, B, C, window, na), B, C,
+        ctx=40, guard=32, window=window)
+    plain = DeviceStreamingDecoder(
+        _counted_dev_window(decode_jit, B, C, window, nb), B, C,
+        ctx=40, guard=32, window=window)
+
+    spec.speculate_final(buf, T, end_dev)
+    assert len(spec._specs) >= 2  # multi-window plan really speculated
+    a = spec.update_dev(buf, T, final=True, end_dev=end_dev)
+    b = plain.update_dev(jnp.asarray(feats), T, final=True, end_dev=end_dev)
+    np.testing.assert_allclose(a, b, atol=1e-5)
     assert na[0] == nb[0]
     assert not spec._specs
 
