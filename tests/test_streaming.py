@@ -438,3 +438,46 @@ def test_stream_window_ahead_facade_equivalence(tiny_config):
         outs[ahead] = np.concatenate(chunks, axis=1)
     assert outs[True].shape == outs[False].shape
     np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
+
+
+def test_plan_walk_invariants(rng):
+    """_plan_walk (the ONE emission-plan function shared by the walk and
+    the speculators) respects the guard/window/geometry invariants over
+    randomized geometries and chunkings: contiguous strictly-advancing
+    emission, guard-shielded non-final emission, windows inside [0, n]
+    and of at most ``window`` positions, final plans completing to n."""
+    from chattts_tpu.engine.streaming import StreamingDecoder
+
+    for trial in range(200):
+        guard = int(rng.integers(4, 64))
+        ctx = guard + int(rng.integers(0, 32))
+        window = ctx + guard + 8 + int(rng.integers(0, 64))
+        fg = (None if rng.random() < 0.5
+              else int(rng.integers(0, guard + 1)))
+        sd = StreamingDecoder(lambda w: None, 1, 4, ctx=ctx, guard=guard,
+                              window=window, first_guard=fg)
+        e = int(rng.integers(0, 80))
+        n = e + int(rng.integers(0, 160))
+        final = bool(rng.random() < 0.5)
+        g_entry = sd.first_guard if e == 0 else sd.guard
+        prev = e
+        steps = list(sd._plan_walk(e, n, final))
+        for e0, lo, hi, emit_hi, pad_left, is_last in steps:
+            assert e0 == prev                  # contiguous plan
+            assert emit_hi > e0                # strict progress
+            assert 0 <= lo <= hi <= n
+            assert hi - lo <= window
+            if not is_last:
+                assert pad_left == 0
+                assert emit_hi <= n - g_entry  # guard shields emission
+                assert lo == max(0, e0 - ctx)  # left context kept
+            else:
+                assert lo == max(0, hi - window)  # right-aligned tail
+                if pad_left:
+                    assert pad_left == window - (hi - lo)
+            prev = emit_hi
+        if final and n > e:
+            # a final plan always flushes everything
+            assert prev == n, (trial, guard, ctx, window, e, n)
+        if not final and steps:
+            assert prev <= n - g_entry
