@@ -500,11 +500,8 @@ class Chat:
         sd = None
 
         def _mk_device_sd():
-            return DeviceStreamingDecoder(
-                self._device_window_fn(window), len(batch),
-                self.config.gpt.hidden_size,
-                wire_int16=self.config.runtime.wire_int16,
-                ctx=ctx, guard=guard, window=window, first_guard=fg)
+            return self._device_stream_decoder(len(batch),
+                                               params.stream_batch)
 
         # window speculation: right after the generator ENQUEUES a decode
         # chunk, enqueue the vocode of the window that chunk will allow and
@@ -587,6 +584,23 @@ class Chat:
             pending = np.concatenate([pending, tailing], axis=1)
         keep = np.sum(np.abs(pending) > 1e-5, axis=0) > 0
         yield pending[:, keep]
+
+    def _device_stream_decoder(self, batch: int, stream_batch: int):
+        """Device streaming decoder with the facade's geometry recipe
+        (plan_windows receptive cones, clamped first guard, wire scaling).
+        The ONE construction shared by _stream_batch and
+        TTSService.synthesize_stream - keep them from drifting."""
+        from .engine.streaming import DeviceStreamingDecoder, plan_windows
+
+        ctx, guard, window = plan_windows(self.config.decoder.stack,
+                                          self.config.vocos, stream_batch)
+        fg = self.config.runtime.stream_first_guard
+        return DeviceStreamingDecoder(
+            self._device_window_fn(window), batch,
+            self.config.gpt.hidden_size,
+            wire_int16=self.config.runtime.wire_int16,
+            ctx=ctx, guard=guard, window=window,
+            first_guard=None if fg is None else min(fg, guard))
 
     def _stream_decode_fn(self, use_decoder: bool):
         if use_decoder:
@@ -805,24 +819,32 @@ class Chat:
 
         # final-flush speculation: when the dispatched chunk provably ends
         # generation (predicted kept count reaches max_new), the flush
-        # window's arguments (lo, n) are already known - dispatch its
-        # vocode + async PCM copy so they overlap the final status round
-        # trip instead of serializing after it.  The enqueued decode reads
-        # the generation buffer AFTER the final chunk writes it (in-order
-        # device execution) and st.end_idx's post-chunk values, so a hit
-        # is bit-identical to the inline flush; a miss (a row EOSed early,
-        # shrinking n) just falls back.
-        stash: List = [None]  # (lo, n, device wav) or None
+        # window's arguments (lo, n) AND the incremental stream's final
+        # emitted-sample count are already known (the feed loop advances
+        # in fixed full-chunk quanta), so the flush vocode and its TAIL
+        # slice's async PCM copy both dispatch here and overlap the final
+        # status round trip.  The enqueued decode reads the generation
+        # buffer AFTER the final chunk writes it (in-order device
+        # execution) and st.end_idx's post-chunk values, so a hit is
+        # bit-identical to the inline flush; a miss (a row EOSed early,
+        # shrinking n) just falls back.  Only the tail transfers: the
+        # full flush window's wasted copy measured +18% e2e (PERF.md).
+        stash: List = [None]  # (lo, n, predicted emitted, device tail)
+        nfft2 = self.config.vocos.n_fft // 2
 
         def on_dispatch(st, hi):
             if incr is None or hi < params.max_new_token:
                 return
             n_p, lo_p = int(hi), int(hi) - flush_w
-            if lo_p < 0:
+            fed_p = n_p // chunk
+            em_p = (fed_p - 1) * chunk * spc - nfft2 if fed_p >= 2 else 0
+            if lo_p < 0 or em_p < lo_p * spc:
                 return
             wav = self._device_window_fn(flush_w)(
                 st.hiddens, lo_p, n_p, 0, st.end_idx)
-            stash[0] = (lo_p, n_p, wav)
+            tail = wav[:, em_p - lo_p * spc:]
+            copy_to_host_async(tail)
+            stash[0] = (lo_p, n_p, em_p, tail)
 
         if not rt.stream_window_ahead:
             on_dispatch = None
@@ -901,13 +923,13 @@ class Chat:
             # are exact from guard positions in; emission starts well past
             # that (checked above)
             lo = n - flush_w
-            if stash[0] is not None and stash[0][:2] == (lo, n):
-                wav_w = stash[0][2]  # speculated flush, already in flight
+            if stash[0] is not None and stash[0][:3] == (lo, n, emitted):
+                tail = stash[0][3]  # speculated flush, copy in flight
             else:
                 wav_w = self._device_window_fn(flush_w)(
                     last[0], lo, n, 0, last[2])
-            tail = wav_w[:, emitted - lo * spc:]
-            copy_to_host_async(tail)
+                tail = wav_w[:, emitted - lo * spc:]
+                copy_to_host_async(tail)
             parts.append(tail)
         elif sd is not None and sd.emitted < sd.available:
             parts += sd.update_dev(last[0], last[1], end_dev=last[2],
@@ -1246,10 +1268,20 @@ class Chat:
                 # batched device partial: stack the FULL fixed-shape
                 # (max_new, D) slot rows on device (one compiled stack and
                 # window-decode shape per engine tier - no per-length
-                # recompiles); ``n_valid`` carries the true max kept count
-                # (host-known from the id counts, no device sync) and rows
-                # beyond a request's own count are masked by end_dev.
+                # recompiles); rows beyond a request's own count are masked
+                # by end_dev.  ``n_valid`` is bounded by the SLOWEST
+                # UNFINISHED request: with staggered admission (more
+                # requests than slots, or preemption) a late row's content
+                # for positions [0, k) only appears once it is admitted,
+                # and downstream consumers (windowed walk, conv-state
+                # incremental feed) never re-visit positions behind their
+                # emission cursor - consuming past a lagging row would
+                # bake its not-yet-generated positions in as silence.
+                # Lockstep batches (the common case) lose nothing: all
+                # unfinished rows share one count.
                 lens = [sum(a.shape[0] for a in acc) for acc in acc_ids]
+                n_safe = min((l for l, d in zip(lens, done) if not d),
+                             default=max(lens))
                 Tbuf = next((h.shape[0] for h in cum_dev if h is not None),
                             0)
                 hb = (jnp.stack([
@@ -1259,7 +1291,7 @@ class Chat:
                 return GenerationOutputs(
                     ids=out_ids, hiddens=[], finished=fin,
                     hiddens_dev=hb, end_dev=jnp.asarray(lens, jnp.int32),
-                    n_valid=max(lens), partial=not all(done))
+                    n_valid=n_safe, partial=not all(done))
             return GenerationOutputs(
                 ids=out_ids,
                 hiddens=[np.concatenate(a) if a else Zh for a in acc_hid],

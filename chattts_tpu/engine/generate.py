@@ -212,15 +212,15 @@ def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
             rng=rng,
         )
 
-    def step_body(carry):
+    def step_body(pg, pe, packed, carry):
         st, sp, eos_text = carry
         rng, sub = jax.random.split(st.rng)
         eos = eos_token if eos_token is not None else eos_text
 
         if infer_text:
-            logits = embed_mod.head_text(pe_ref[0], st.hidden)  # (B, V)
+            logits = embed_mod.head_text(pe, st.hidden)  # (B, V)
         else:
-            logits = embed_mod.head_code(pe_ref[0], st.hidden).reshape(
+            logits = embed_mod.head_code(pe, st.hidden).reshape(
                 B * num_vq, cfg.num_audio_tokens)
 
         # trailing-16 generated-token window (prompt tokens masked out)
@@ -251,45 +251,43 @@ def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
             st.hiddens, st.hidden[:, None, :], (0, st.step, 0))
         end_idx = st.end_idx + (~finish).astype(jnp.int32)
 
-        emb = (embed_mod.embed_text_step(pe_ref[0], token[:, 0]) if infer_text
-               else embed_mod.embed_code_step(pe_ref[0], token))
+        emb = (embed_mod.embed_text_step(pe, token[:, 0]) if infer_text
+               else embed_mod.embed_code_step(pe, token))
         if fused:
             from ..ops.pallas_step import decode_step_fused
 
             lo = jnp.argmax(key_valid, axis=1).astype(jnp.int32)
             lo = jnp.where(jnp.any(key_valid, axis=1), lo, 0)
             x_out, kc, vc = decode_step_fused(
-                packed_ref[0], emb, st.cache[0], st.cache[1], st.cur, lo,
+                packed, emb, st.cache[0], st.cache[1], st.cur, lo,
                 st.pos_next, cfg=cfg)
-            hidden = llama.rms_norm(x_out, pg_ref[0]["norm"],
-                                    cfg.rms_norm_eps)
+            hidden = llama.rms_norm(x_out, pg["norm"], cfg.rms_norm_eps)
             cache = (kc, vc)
         else:
             hidden, cache = llama.decode_step(
-                pg_ref[0], emb, st.cache, st.cur, key_valid, st.pos_next, cfg)
+                pg, emb, st.cache, st.cur, key_valid, st.pos_next, cfg)
         return (
             GenState(cache, ids, key_valid, hidden, st.cur + 1, st.pos_next + 1,
                      finish, end_idx, hiddens, st.step + 1, rng),
             sp, eos_text,
         )
 
-    # closure cells filled inside chunk_fn (params enter through jit args)
-    pg_ref = [None]
-    pe_ref = [None]
-    packed_ref = [None]
-
     def chunk_fn(pg, pe, st: GenState, sp: sampling.SamplingParams,
                  step_end: jnp.ndarray, eos_text: jnp.ndarray,
                  packed: dict):
-        pg_ref[0] = pg
-        pe_ref[0] = pe
-        packed_ref[0] = packed
-
         def cond(carry):
             s = carry[0]
             return (s.step < step_end) & ~jnp.all(s.finish)
 
-        st, _, _ = lax.while_loop(cond, step_body, (st, sp, eos_text))
+        # params bind via functools.partial, NOT mutable closure cells: a
+        # shared body function whose cells hold the previous trace's
+        # tracers hits jax's while_loop jaxpr cache (keyed on function
+        # identity + avals) on any retrace - e.g. swapping the packed-slab
+        # quantization between loads - and reuses the STALE tracers as
+        # constants (UnexpectedTracerError).  A fresh partial per trace
+        # makes the cache key unique to this trace's tracers.
+        body = functools.partial(step_body, pg, pe, packed)
+        st, _, _ = lax.while_loop(cond, body, (st, sp, eos_text))
         # every scalar the host scheduler reads, in ONE packed array: this
         # link's blocking reads cost ~20-30 ms each, so separate step /
         # finish / end_idx fetches dominated short generations

@@ -523,3 +523,49 @@ def test_step_slabs_repack_on_reload(tiny_config, monkeypatch):
     c.load(source="random", seed=1)                   # replaces gpt_params
     s2 = c._step_slabs()
     assert s2 is not s1 and calls[-1] is c.gpt_params  # repacked fresh
+
+
+def test_use_engine_staggered_admission_exact(engine_chat, monkeypatch):
+    """More requests than engine slots (queued admission): the pipelined
+    chunked vocode must not consume buffer positions ahead of a
+    not-yet-admitted request.  Regression: partial_out advanced n_valid at
+    max(lens), so late rows' positions were consumed end-masked to zero
+    before their content existed and never revisited - their audio came
+    out as leading silence plus a fragment.  n_valid is now bounded by the
+    slowest UNFINISHED request."""
+    import dataclasses
+    from chattts_tpu.engine.batching import Engine
+
+    # preemption off: preemption-by-recompute legitimately reshapes the
+    # resumed prefill (different padding -> different float paths ->
+    # different sampled tokens), which would make the two backends
+    # incomparable; queued admission alone is the staggering under test.
+    # pipeline_chunk=32 keeps flush_w (~88) below max_new so the CHUNKED
+    # consumption path actually engages on the tiny geometry.
+    geo = dataclasses.replace(
+        engine_chat._code_engine_geometry("fast"),
+        max_num_seqs=2, max_new_tokens=256, preempt_after_chunks=None)
+    small = Engine(engine_chat.config.gpt, geo, engine_chat.gpt_params,
+                   engine_chat.embed_params,
+                   spk_emb_ids=engine_chat.tokenizer.spk_emb_ids,
+                   packed=engine_chat._step_slabs())
+    monkeypatch.setattr(engine_chat, "_code_engines",
+                        {"fast": small, "capacity": small}, raising=False)
+    monkeypatch.setattr(engine_chat, "config",
+                        engine_chat.config.with_runtime(
+                            prefill_bucket=16, decode_bucket=32,
+                            pipeline_chunk=32))
+    texts = ["one", "two", "three", "four"]
+    p = _code_params(max_new_token=160, min_new_token=160, manual_seed=5)
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "1")
+    a = engine_chat.infer(texts, skip_refine_text=True, split_text=False,
+                          params_infer_code=p)
+    monkeypatch.setenv("CHATTTS_PIPELINED_DECODE", "0")
+    b = engine_chat.infer(texts, skip_refine_text=True, split_text=False,
+                          params_infer_code=p)
+    assert len(a) == len(b) == 4
+    for wa, wb in zip(a, b):
+        n = min(wa.shape[0], wb.shape[0])
+        assert n > 100 * 512  # every row produced real audio
+        assert abs(wa.shape[0] - wb.shape[0]) <= 1024
+        np.testing.assert_allclose(wa[:n], wb[:n], atol=2e-4)

@@ -150,3 +150,30 @@ def test_streaming_speculation_equivalence(gen, tiny_config):
         for ha, hb in zip(variant[-1].materialize_hiddens(),
                           sync[-1].materialize_hiddens()):
             np.testing.assert_allclose(ha, hb, atol=0)
+
+
+def test_retrace_with_new_packed_structure(tiny_config):
+    """Switching the packed-slab pytree structure between generations in
+    ONE process (e.g. CHATTTS_STEP_INT8 toggled between loads) forces the
+    chunk fn to retrace.  Regression: the while_loop body bound its params
+    through mutable closure cells, and jax's while_loop jaxpr cache (keyed
+    on body-function identity + avals) reused the PREVIOUS trace's cell
+    tracers as constants -> UnexpectedTracerError on the retrace.  Params
+    now bind via a fresh functools.partial per trace."""
+    cfg = tiny_config.gpt
+    gp = llama.init_params(jax.random.PRNGKey(0), cfg)
+    ep = embed_mod.init_params(jax.random.PRNGKey(1), cfg)
+
+    g1 = Generator(cfg, gp, ep, prefill_bucket=16)
+    g1._packed = {}
+    out1 = next(g1.generate(_req(cfg)))
+
+    g2 = Generator(cfg, gp, ep, prefill_bucket=16)
+    # same _build_fns lru entry (same cfg/shape key), different packed
+    # structure -> chunk_jit retraces with the cached step_body
+    g2._packed = {"dummy": np.zeros((1,), np.float32)}
+    out2 = next(g2.generate(_req(cfg)))  # raised UnexpectedTracerError
+
+    # same request + seed => identical tokens (packed is unused unfused)
+    for a, b in zip(out1.ids, out2.ids):
+        np.testing.assert_array_equal(a, b)
