@@ -822,9 +822,16 @@ class Engine:
         # finished is a no-op (the jitted loop's cond fails).  A request
         # arriving mid-chunk waits at most one extra chunk for admission;
         # streaming consumers benefit the most - their per-chunk status
-        # read hides behind the next chunk's compute.
+        # read hides behind the next chunk's compute.  EXCEPT host-hidden
+        # streamers: their harvest does a blocking bulk hiddens read
+        # against live state, which would wait out the in-flight chunk
+        # k+1's compute - re-serializing the exact latency this hides and
+        # delaying every token callback by a full chunk.
         if (self.ecfg.speculate and not self.waiting
-                and any(r is not None for r in self.slots)):
+                and any(r is not None for r in self.slots)
+                and not (self.ecfg.collect_hidden and any(
+                    r is not None and r.on_tokens is not None
+                    and not r.stream_hiddens_dev for r in self.slots))):
             self._spec = self._dispatch_chunk(long_chunk)
         self._ingest(np.asarray(status))  # ONE host read per chunk
         self.stats["steps"] += int(self._status[6, 0])

@@ -314,13 +314,16 @@ class DeviceStreamingDecoder(StreamingDecoder):
         e = max(self.emitted, self._plan_e)
         for e0, lo, hi, _, pad_left, _ in self._plan_walk(e, n, False):
             key = (e0, lo, hi, pad_left)
+            if len(self._specs) >= 4 and key not in self._specs:
+                break  # bound in-flight windows; NEVER evict older
+                # entries - specs are consumed oldest-first, so evicting
+                # the head discards exactly the window the pending
+                # update_dev needs and re-decodes it inline
             if key not in self._specs:
                 wav = self._decode_window_dev(feats_dev, lo, hi, pad_left,
                                               end_dev)
                 copy_to_host_async(wav)
                 self._specs[key] = wav
-                while len(self._specs) > 4:  # bound in-flight windows
-                    self._specs.pop(next(iter(self._specs)))
         self._plan_ns.append(n)
         self._plan_e = self._sim_walk(e, n)
 

@@ -195,7 +195,12 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     @pl.when(l == 0)
     def _():
         xs[...] = x_ref[...]
-        for g in range(WRING):
+        # prologue fill, bounded by the TOTAL bundle count: tiny
+        # geometries (e.g. int4's ring depth 16 on a 1-2 layer test
+        # model) can have fewer bundles than ring slots, and an
+        # unguarded start would DMA from past the end of the slab
+        # array (the refill site below guards the same way)
+        for g in range(min(WRING, L * NBL)):
             start_wdma(g)
 
     def mm(a, w):  # (B, D) f32 x (D, D) bf16 -> (B, D) f32 on the MXU

@@ -27,7 +27,6 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from .core import Chat
-from .engine.streaming import plan_windows
 from .utils.logger import get_logger
 
 logger = get_logger("chattts.serving")
@@ -223,8 +222,6 @@ class TTSService:
         crosses the host link - no per-chunk hidden download or per-window
         re-upload (the velocity fork keeps hiddens in outputs for exactly
         this consumer, sequence.py:84-88)."""
-        from .engine.streaming import DeviceStreamingDecoder
-
         c = self.chat
         params = params_code or Chat.InferCodeParams()
         inc_q: queue.Queue = queue.Queue()
@@ -242,14 +239,7 @@ class TTSService:
             r.stream_hiddens_dev = True
         self._submit(c._engine_for_code(), reqs)
 
-        ctx, guard, window = plan_windows(
-            c.config.decoder.stack, c.config.vocos, params.stream_batch)
-        fg = c.config.runtime.stream_first_guard
-        sd = DeviceStreamingDecoder(
-            c._device_window_fn(window), 1, c.config.gpt.hidden_size,
-            wire_int16=c.config.runtime.wire_int16,
-            ctx=ctx, guard=guard, window=window,
-            first_guard=None if fg is None else min(fg, guard))
+        sd = c._device_stream_decoder(1, params.stream_batch)
         cum = None
         n = 0
         finished = False
