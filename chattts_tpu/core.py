@@ -498,10 +498,33 @@ class Chat:
         fg = self.config.runtime.stream_first_guard
         fg = None if fg is None else min(fg, guard)
         sd = None
+        # Defer PCM materialization by one chunk (AsyncDeviceWindows): the
+        # window decode + async copy are enqueued at consume time but
+        # materialized on the NEXT yield, so the vocode's device compute
+        # and the PCM transfer both overlap the next chunk's compute and
+        # status read.  This matters on BOTH backends: the engine cannot
+        # speculate windows at dispatch time (its partial rows are
+        # per-harvest snapshots), and even the generator's speculated
+        # windows still block inline materialization for the vocode's
+        # device time at wide batch (engine 8x384 A/B: wall 1.96 -> 1.04 s).
+        # A constant one-chunk shift in emission latency, not a rate
+        # change; the TTFA-critical windows before the first emission
+        # (and the final flush) materialize immediately.
+        defer = self.config.runtime.stream_window_ahead
+        wire = self.config.runtime.wire_int16
+        deferred: List = []
+        emitted_any = False
+
+        def _mat(parts) -> np.ndarray:
+            if not parts:
+                return np.zeros((len(batch), 0), np.float32)
+            out = np.concatenate([np.asarray(p) for p in parts], axis=1)
+            return out.astype(np.float32) / 32767.0 if wire else out
 
         def _mk_device_sd():
             return self._device_stream_decoder(len(batch),
-                                               params.stream_batch)
+                                               params.stream_batch,
+                                               async_windows=defer)
 
         # window speculation: right after the generator ENQUEUES a decode
         # chunk, enqueue the vocode of the window that chunk will allow and
@@ -544,6 +567,8 @@ class Chat:
                 sd = None
                 pending = np.zeros((len(batch), 0), np.float32)
                 pass_batch_count = 0  # reapply the first-yields suppression
+                deferred = []
+                emitted_any = False
             final = bool(result.finished.all())
             if use_decoder and result.hiddens_dev is not None:
                 if sd is None:
@@ -552,6 +577,15 @@ class Chat:
                         result.end_dev)
                 chunk = sd.update_dev(result.hiddens_dev, result.hid_n,
                                       final=final, end_dev=result.end_dev)
+                if isinstance(chunk, list):
+                    # deferred PCM: emit the PREVIOUS chunk's windows
+                    # (their copies overlapped this chunk); hold this
+                    # chunk's windows for the next yield
+                    if final or not emitted_any:
+                        chunk = _mat(deferred + chunk)
+                        deferred = []
+                    else:
+                        deferred, chunk = chunk, _mat(deferred)
             else:
                 if sd is None:
                     sd = StreamingDecoder(
@@ -574,6 +608,7 @@ class Chat:
             emit = pending[:, : params.stream_speed]
             pending = pending[:, params.stream_speed :]
             if emit.size:
+                emitted_any = True
                 yield emit
         # tail flush: whatever remains, silence-stripped (core.py:501-503)
         if sd is not None and sd.emitted < sd.available and last is not None:
@@ -581,24 +616,41 @@ class Chat:
             tailing = (sd.update_dev(payload, n, final=True, end_dev=end_dev)
                        if kind == "dev"
                        else sd.update(payload, final=True))
-            pending = np.concatenate([pending, tailing], axis=1)
+            if isinstance(tailing, list):
+                deferred = deferred + tailing
+            else:
+                if deferred:
+                    pending = np.concatenate([pending, _mat(deferred)],
+                                             axis=1)
+                    deferred = []
+                pending = np.concatenate([pending, tailing], axis=1)
+        if deferred:
+            pending = np.concatenate([pending, _mat(deferred)], axis=1)
         keep = np.sum(np.abs(pending) > 1e-5, axis=0) > 0
         yield pending[:, keep]
 
-    def _device_stream_decoder(self, batch: int, stream_batch: int):
+    def _device_stream_decoder(self, batch: int, stream_batch: int,
+                               async_windows: bool = False):
         """Device streaming decoder with the facade's geometry recipe
         (plan_windows receptive cones, clamped first guard, wire scaling).
         The ONE construction shared by _stream_batch and
-        TTSService.synthesize_stream - keep them from drifting."""
-        from .engine.streaming import DeviceStreamingDecoder, plan_windows
+        TTSService.synthesize_stream - keep them from drifting.
+
+        ``async_windows``: return the AsyncDeviceWindows variant whose
+        update_dev yields device sample slices with async copies in
+        flight instead of materialized arrays (int16 wire scaling then
+        becomes the caller's job at materialization)."""
+        from .engine.streaming import (AsyncDeviceWindows,
+                                       DeviceStreamingDecoder, plan_windows)
 
         ctx, guard, window = plan_windows(self.config.decoder.stack,
                                           self.config.vocos, stream_batch)
         fg = self.config.runtime.stream_first_guard
-        return DeviceStreamingDecoder(
+        cls = AsyncDeviceWindows if async_windows else DeviceStreamingDecoder
+        return cls(
             self._device_window_fn(window), batch,
             self.config.gpt.hidden_size,
-            wire_int16=self.config.runtime.wire_int16,
+            wire_int16=self.config.runtime.wire_int16 and not async_windows,
             ctx=ctx, guard=guard, window=window,
             first_guard=None if fg is None else min(fg, guard))
 

@@ -569,3 +569,29 @@ def test_use_engine_staggered_admission_exact(engine_chat, monkeypatch):
         assert n > 100 * 512  # every row produced real audio
         assert abs(wa.shape[0] - wb.shape[0]) <= 1024
         np.testing.assert_allclose(wa[:n], wb[:n], atol=2e-4)
+
+
+def test_use_engine_stream_defer_equivalence(engine_chat, monkeypatch):
+    """Engine streaming defers PCM materialization one chunk when
+    stream_window_ahead is on (AsyncDeviceWindows; the copies overlap the
+    next chunk's compute + status read).  Total audio must match the
+    inline path exactly - the shift changes when samples materialize, not
+    what they are."""
+    outs = {}
+    for ahead in (True, False):
+        monkeypatch.setattr(engine_chat, "config",
+                            engine_chat.config.with_runtime(
+                                stream_window_ahead=ahead))
+        p = _code_params(max_new_token=40, min_new_token=36, manual_seed=9,
+                         stream_batch=8, pass_first_n_batches=0,
+                         stream_speed=2048)
+        chunks = [c for c in engine_chat.infer(
+            "defer me", stream=True, skip_refine_text=True,
+            params_infer_code=p) if c.size]
+        outs[ahead] = np.concatenate(chunks, axis=1)
+    # strip-normalize: deferral shifts which samples land in the
+    # silence-stripped tail flush (one-chunk emission shift)
+    a = outs[True][np.abs(outs[True]) > 1e-5]
+    b = outs[False][np.abs(outs[False]) > 1e-5]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4)
