@@ -77,3 +77,25 @@ def test_decorate_strips_stale_control_tokens():
     out = Speaker.decorate_code_prompts(
         ["[Stts][spk_emb] hi [empty_spk]"], "", None, None)[0]
     assert out == "[Stts][empty_spk]hi[Ptts]"
+
+
+def test_pyproject_packages_complete():
+    """pyproject.toml must list every chattts_tpu subpackage and carry the
+    resource globs - a new subpackage that isn't listed silently ships a
+    broken wheel (pip install . then import fails)."""
+    import pathlib
+    import tomllib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    cfg = tomllib.loads((root / "pyproject.toml").read_text())
+    listed = set(cfg["tool"]["setuptools"]["packages"])
+    found = {"chattts_tpu"} | {
+        f"chattts_tpu.{p.parent.name}"
+        for p in (root / "chattts_tpu").glob("*/__init__.py")
+    }
+    assert listed == found
+    data = cfg["tool"]["setuptools"]["package-data"]["chattts_tpu"]
+    res = root / "chattts_tpu" / "res"
+    for f in res.iterdir():
+        assert any(f.match(g.split("/")[-1]) for g in data
+                   if g.startswith("res/")), f.name
