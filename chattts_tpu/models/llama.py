@@ -130,6 +130,42 @@ def _qkv(p: dict, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray
     return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
 
+def prefill_bias(attn_mask: jnp.ndarray) -> jnp.ndarray:
+    """Additive attention bias (B, 1, T0, T0) for a full-sequence forward:
+    query i attends key j iff j <= i and mask[j].  Large-finite instead of
+    -inf: queries at (left-)pad positions have no visible keys, and softmax
+    over an all--inf row is NaN, which would poison the KV cache through
+    the residual stream (HF masks the same way)."""
+    T0 = attn_mask.shape[1]
+    causal = jnp.tril(jnp.ones((T0, T0), jnp.bool_))
+    bias = jnp.where(causal[None] & attn_mask[:, None, :], 0.0, _MASK_VALUE)
+    return bias[:, None]
+
+
+def prefill_block(lp: dict, x: jnp.ndarray, bias: jnp.ndarray,
+                  cos: jnp.ndarray, sin: jnp.ndarray, cfg: GPTConfig,
+                  dtype=jnp.bfloat16
+                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One transformer layer of the full-sequence forward:
+    (x (B, T, D), bias (B, 1, T, T), cos/sin (B, T, Dh)) -> (x, k, v).
+    Shared by :func:`prefill` and the pipeline-parallel stage scan
+    (parallel/pipeline.py)."""
+    eps = cfg.rms_norm_eps
+    B, T0, _ = x.shape
+    h = rms_norm(x, lp["ln1"], eps)
+    q, k, v = _qkv(lp["attn"], h)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(cfg.head_dim) + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    x = x + o.reshape(B, T0, -1) @ lp["attn"]["wo"]
+    h = rms_norm(x, lp["ln2"], eps)
+    return x + _mlp(lp["mlp"], h), k, v
+
+
 def prefill(
     params: dict,
     emb: jnp.ndarray,           # (B, T0, D) input embeddings
@@ -140,39 +176,19 @@ def prefill(
     dtype=jnp.bfloat16,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Full-sequence forward; returns (hidden (B, T0, D) f32, updated cache)."""
-    H, Dh, eps = cfg.num_attention_heads, cfg.head_dim, cfg.rms_norm_eps
     cos_t, sin_t = rope_tables(cfg)
     cos = jnp.asarray(cos_t)[positions]  # (B, T0, Dh)
     sin = jnp.asarray(sin_t)[positions]
-
-    B, T0, _ = emb.shape
-    # causal + padding mask: query i attends key j iff j <= i and mask[j].
-    # Large-finite instead of -inf: queries at (left-)pad positions have no
-    # visible keys, and softmax over an all--inf row is NaN, which would
-    # poison the KV cache through the residual stream (HF masks the same way).
-    causal = jnp.tril(jnp.ones((T0, T0), jnp.bool_))
-    bias = jnp.where(causal[None] & attn_mask[:, None, :], 0.0, _MASK_VALUE)
-    bias = bias[:, None]  # (B, 1, T0, T0)
+    bias = prefill_bias(attn_mask)
 
     x = emb.astype(dtype)
     ks, vs = [], []
     for lp in params["layers"]:
-        h = rms_norm(x, lp["ln1"], eps)
-        q, k, v = _qkv(lp["attn"], h)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        x, k, v = prefill_block(lp, x, bias, cos, sin, cfg, dtype)
         ks.append(k)
         vs.append(v)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / np.sqrt(Dh) + bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        x = x + o.reshape(B, T0, -1) @ lp["attn"]["wo"]
-        h = rms_norm(x, lp["ln2"], eps)
-        x = x + _mlp(lp["mlp"], h)
 
-    hidden = rms_norm(x, params["norm"], eps).astype(jnp.float32)
+    hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps).astype(jnp.float32)
     new_cache = KVCache(
         tuple(lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
               for ck, k in zip(cache.k, ks)),

@@ -8,6 +8,12 @@ axes -
 * ``dp`` (data parallel): requests/batch shard across chips; the scaling axis
   for throughput serving (the reference has no DP at all - its only batch
   parallelism is continuous batching on one GPU);
+* ``sp`` (sequence parallel): the time axis of training activations shards
+  across chips, cutting per-chip activation memory for long sequences; the
+  attention all-gathers GSPMD inserts ride the ICI.  The reference has no
+  sequence parallelism anywhere (SURVEY.md section 2.6) and decode is one
+  token per step, so ``sp`` applies to training/prefill only — serving
+  meshes keep ``sp=1``;
 * ``tp`` (tensor parallel): attention heads and FFN columns shard across
   chips for latency; the all-reduces the reference codes by hand inside
   Row/ColumnParallelLinear (``velocity/llama.py:106-151``) are inserted by
@@ -54,16 +60,18 @@ def initialize_distributed(coordinator: Optional[str] = None,
         pass  # single-host / no cluster env: run locally
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1,
+def make_mesh(dp: Optional[int] = None, tp: int = 1, sp: int = 1,
               devices=None) -> Mesh:
+    """(dp, sp, tp) mesh; unmentioned axes in a PartitionSpec replicate, so
+    every existing dp/tp spec works unchanged on a mesh with sp == 1."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp={dp * tp} != device count {n}")
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        dp = n // (tp * sp)
+    if dp * sp * tp != n:
+        raise ValueError(f"dp*sp*tp={dp * sp * tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
 
 
 def gpt_param_specs(cfg: GPTConfig) -> dict:
@@ -90,6 +98,21 @@ def embed_param_specs(cfg: GPTConfig) -> dict:
         "head_text": P(None, "tp"),
         "head_code": P(None, None, "tp"),
     }
+
+
+def train_batch_specs() -> dict:
+    """PartitionSpec tree for a train.TrainBatch: batch over ``dp``, the
+    sequence (time) axis over ``sp``.  Parameters stay replicated over
+    ``sp``; GSPMD inserts the attention all-gathers and the psum of the
+    loss/grad reductions across both axes.  Returned as a TrainBatch of
+    specs so it tree-maps against a real batch in :func:`shard_params`."""
+    from ..train import TrainBatch
+
+    return TrainBatch(
+        ids=P("dp", "sp", None),
+        attn_mask=P("dp", "sp"),
+        text_mask=P("dp", "sp"),
+    )
 
 
 def state_specs(cfg: GPTConfig) -> dict:

@@ -55,6 +55,15 @@ def loss_fn(gpt_params, embed_params, batch: TrainBatch, cfg: GPTConfig
             ) -> jnp.ndarray:
     """Mixed text/code next-token CE, averaged over valid target positions."""
     hidden = _forward_hidden(gpt_params, embed_params, batch, cfg)
+    return loss_from_hidden(embed_params, hidden, batch)
+
+
+def loss_from_hidden(embed_params, hidden: jnp.ndarray, batch: TrainBatch
+                     ) -> jnp.ndarray:
+    """CE given the transformer's output hidden states (B, T, D) f32 - the
+    head/objective half of :func:`loss_fn`, shared with the
+    pipeline-parallel step (parallel/pipeline.py) whose forward replaces
+    :func:`_forward_hidden`."""
     h = hidden[:, :-1]                      # predict position t+1 from t
     tgt_ids = batch.ids[:, 1:]              # (B, T-1, num_vq)
     tgt_text = batch.text_mask[:, 1:]
