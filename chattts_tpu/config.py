@@ -134,8 +134,10 @@ class RuntimeConfig:
     prefill_bucket: int = 32
     # decode-loop buffer sizes are rounded up to a multiple of this
     decode_bucket: int = 256
-    # mesh axis names: data-parallel over requests, tensor-parallel over heads
-    mesh_axes: Tuple[str, str] = ("dp", "tp")
+    # mesh axis names built by parallel.mesh.make_mesh: data-parallel over
+    # requests/batch, sequence-parallel (training prefill), tensor-parallel
+    # over heads/FFN.  Informational - consumers address axes by name.
+    mesh_axes: Tuple[str, str, str] = ("dp", "sp", "tp")
     # streaming: reduced receptive-field guard for the FIRST emission only
     # (time-to-first-audio lever; None = always exact). 8 positions lets the
     # very first decode chunk emit audio.

@@ -25,6 +25,15 @@ Scope notes (documented, deliberate):
   zero-elsewhere buffer so the loss can run replicated.  A production
   deployment at larger scale would keep the loss on the last stage; at
   0.1B-scale the broadcast is noise.
+* ``make_pp_mesh`` builds a standalone single-axis ``("pp",)`` mesh: pp
+  does NOT compose with the dp/sp/tp axes of ``mesh.make_mesh`` (a 20-layer
+  0.1B model never needs pp x tp; composing them would square the test
+  matrix for a configuration with no workload).  Deliberate scope limit.
+* Activations enter the shard_map replicated; the O(B*T^2) attention bias
+  is NOT among them - each stage builds the (mb, 1, T, T) bias for the
+  microbatch it processes per tick from the replicated (n_micro, mb, T)
+  attention mask, so the quadratic buffer exists once per stage, not
+  ``n_micro`` times.
 """
 
 from __future__ import annotations
@@ -82,8 +91,11 @@ def make_pp_forward(cfg: GPTConfig, mesh: Mesh, n_micro: int,
         x, _ = lax.scan(body, x, local_layers)
         return x
 
-    def pipeline(local_layers, mb_emb, mb_bias, mb_cos, mb_sin):
-        # mb_*: (n_micro, mb, ...) replicated on every stage
+    def pipeline(local_layers, mb_emb, mb_attn, mb_cos, mb_sin):
+        # mb_*: (n_micro, mb, ...) replicated on every stage.  The O(T^2)
+        # attention bias is built per tick from the (n_micro, mb, T) mask -
+        # one (mb, 1, T, T) buffer per stage instead of n_micro stacked
+        # copies entering the shard_map.
         stage = lax.axis_index("pp")
         state = jnp.zeros_like(mb_emb[0])
         out = jnp.zeros_like(mb_emb)
@@ -95,7 +107,8 @@ def make_pp_forward(cfg: GPTConfig, mesh: Mesh, n_micro: int,
             m = jnp.clip(t - stage, 0, n_micro - 1)
             x_in = jnp.where(stage == 0, take(mb_emb, m), state)
             y = stage_scan(local_layers, x_in,
-                           take(mb_bias, m), take(mb_cos, m), take(mb_sin, m))
+                           llama.prefill_bias(take(mb_attn, m)),
+                           take(mb_cos, m), take(mb_sin, m))
             out_m = t - (pp - 1)  # microbatch the LAST stage finished
             if 0 <= out_m < n_micro:
                 out = jnp.where(stage == pp - 1, out.at[out_m].set(y), out)
@@ -116,10 +129,9 @@ def make_pp_forward(cfg: GPTConfig, mesh: Mesh, n_micro: int,
         cos_t, sin_t = llama.rope_tables(cfg)
         cos = jnp.asarray(cos_t)[positions]
         sin = jnp.asarray(sin_t)[positions]
-        bias = llama.prefill_bias(attn_mask)
         split = lambda a: a.reshape((n_micro, mb) + a.shape[1:])
-        out = sharded(stacked_layers, split(emb.astype(dtype)), split(bias),
-                      split(cos), split(sin))
+        out = sharded(stacked_layers, split(emb.astype(dtype)),
+                      split(attn_mask), split(cos), split(sin))
         return out.reshape(B, T0, D)
 
     return fwd
