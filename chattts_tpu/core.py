@@ -489,7 +489,7 @@ class Chat:
         yields, then emit ``stream_speed``-sample windows, then flush the
         silence-stripped tail.
         """
-        from .engine.streaming import DeviceStreamingDecoder
+        from .engine.streaming import DeviceStreamingDecoder, EmissionPacer
 
         ctx, guard, window = plan_windows(
             self.config.decoder.stack if use_decoder
@@ -509,17 +509,15 @@ class Chat:
         # device time at wide batch (engine 8x384 A/B: wall 1.96 -> 1.04 s).
         # A constant one-chunk shift in emission latency, not a rate
         # change; the TTFA-critical windows before the first emission
-        # (and the final flush) materialize immediately.
+        # (and the final flush) materialize immediately.  The deferred swap
+        # and the reference cadence both live in EmissionPacer (shared with
+        # TTSService.synthesize_stream).
         defer = self.config.runtime.stream_window_ahead
         wire = self.config.runtime.wire_int16
-        deferred: List = []
-        emitted_any = False
 
-        def _mat(parts) -> np.ndarray:
-            if not parts:
-                return np.zeros((len(batch), 0), np.float32)
-            out = np.concatenate([np.asarray(p) for p in parts], axis=1)
-            return out.astype(np.float32) / 32767.0 if wire else out
+        def _mk_pacer():
+            return EmissionPacer(len(batch), params.pass_first_n_batches,
+                                 params.stream_speed, wire)
 
         def _mk_device_sd():
             return self._device_stream_decoder(len(batch),
@@ -551,8 +549,7 @@ class Chat:
 
         if not self.config.runtime.stream_window_ahead:
             on_dispatch = None
-        pending = np.zeros((len(batch), 0), np.float32)
-        pass_batch_count = 0
+        pacer = _mk_pacer()
         last = None  # (device feats, n) or np items for the tail flush
         # dispatch-ahead AFTER the first emission window: the TTFA-critical
         # first chunk stays synchronous, steady-state yields hide the
@@ -565,10 +562,7 @@ class Chat:
                                  on_dispatch=on_dispatch)):
             if restarted:
                 sd = None
-                pending = np.zeros((len(batch), 0), np.float32)
-                pass_batch_count = 0  # reapply the first-yields suppression
-                deferred = []
-                emitted_any = False
+                pacer = _mk_pacer()  # reapply the first-yields suppression
             final = bool(result.finished.all())
             if use_decoder and result.hiddens_dev is not None:
                 if sd is None:
@@ -577,15 +571,6 @@ class Chat:
                         result.end_dev)
                 chunk = sd.update_dev(result.hiddens_dev, result.hid_n,
                                       final=final, end_dev=result.end_dev)
-                if isinstance(chunk, list):
-                    # deferred PCM: emit the PREVIOUS chunk's windows
-                    # (their copies overlapped this chunk); hold this
-                    # chunk's windows for the next yield
-                    if final or not emitted_any:
-                        chunk = _mat(deferred + chunk)
-                        deferred = []
-                    else:
-                        deferred, chunk = chunk, _mat(deferred)
             else:
                 if sd is None:
                     sd = StreamingDecoder(
@@ -598,36 +583,18 @@ class Chat:
                          else result.ids)
                 last = ("np", items, None, None)
                 chunk = sd.update(items, final=final)
-            pending = np.concatenate([pending, chunk], axis=1)
             result.destroy()
-            pass_batch_count += 1
-            if pass_batch_count <= params.pass_first_n_batches:
-                continue
-            # reference cadence: each yield emits UP TO stream_speed samples,
-            # shorter chunks included (core.py:487-499 clamps b to available)
-            emit = pending[:, : params.stream_speed]
-            pending = pending[:, params.stream_speed :]
-            if emit.size:
-                emitted_any = True
+            emit = pacer.push(chunk, final=final)
+            if emit is not None:
                 yield emit
         # tail flush: whatever remains, silence-stripped (core.py:501-503)
+        tail = None
         if sd is not None and sd.emitted < sd.available and last is not None:
             kind, payload, n, end_dev = last
-            tailing = (sd.update_dev(payload, n, final=True, end_dev=end_dev)
-                       if kind == "dev"
-                       else sd.update(payload, final=True))
-            if isinstance(tailing, list):
-                deferred = deferred + tailing
-            else:
-                if deferred:
-                    pending = np.concatenate([pending, _mat(deferred)],
-                                             axis=1)
-                    deferred = []
-                pending = np.concatenate([pending, tailing], axis=1)
-        if deferred:
-            pending = np.concatenate([pending, _mat(deferred)], axis=1)
-        keep = np.sum(np.abs(pending) > 1e-5, axis=0) > 0
-        yield pending[:, keep]
+            tail = (sd.update_dev(payload, n, final=True, end_dev=end_dev)
+                    if kind == "dev"
+                    else sd.update(payload, final=True))
+        yield pacer.flush(tail)
 
     def _device_stream_decoder(self, batch: int, stream_batch: int,
                                async_windows: bool = False):
@@ -1120,17 +1087,23 @@ class Chat:
     def _code_engine_geometry(self, tier: str):
         """Static engine geometry for a code-engine tier.
 
-        The engine's decode-step cost scales with slot count and per-slot
-        cache length, so one worst-case geometry taxes every request with
-        the saturated-serving shape.  Two tiers instead (the reference sizes
-        its engine per deployment via EngineArgs, velocity/configs.py:551+):
+        The decode step's cost scales with the SLOT COUNT and the kv depth
+        actually filled - NOT with the configured cache length (the
+        megakernel scans chunks only up to ``max(cur)``, ops/pallas_step.py
+        ``nc``), so both tiers carry the full 2048-token generation region
+        and tiering is purely about width (the reference sizes its engine
+        per deployment via EngineArgs, velocity/configs.py:551+):
 
-        * ``"fast"`` - 8 slots x short cache, sized for latency-sensitive
-          and offline work (the facade's typical split-batch workload);
-          per-step cost matches the 8-wide generator path.
-        * ``"capacity"`` - 16 slots x full-length cache, the saturated
-          concurrent-serving spine (PERF.md batch-scaling: B=16 is the
-          throughput sweet spot at ~40k speech tokens/s/chip).
+        * ``"fast"`` - 8 slots: latency-sensitive and the facade's typical
+          split-batch workload; per-step cost matches the 8-wide generator
+          path, and DEFAULT ``InferCodeParams`` (max_new_token=2048) routes
+          here whenever the batch fits - an EOS-terminated ~400-step batch
+          must not pay the 16-wide shape for a ceiling it never reaches.
+        * ``"capacity"`` - 16 slots, the saturated concurrent-serving spine
+          (PERF.md batch-scaling: B=16 is the throughput sweet spot at
+          ~40k speech tokens/s/chip).  Device-streaming slots are capped at
+          14 so saturating streams (the service's normal shape) leave
+          preemptable slots for queued work (starvation bound).
 
         Prompt capacity is sized from the position-embedding budget rather
         than the prefill bucket (a spliced ``spk_smp`` clone prompt can run
@@ -1139,10 +1112,11 @@ class Chat:
         from .engine.batching import EngineConfig
 
         rt = self.config.runtime
+        max_new = rt.decode_bucket * 8
         if tier == "fast":
-            slots, max_new, prompt_cap = 8, rt.decode_bucket * 2, 256
+            slots, prompt_cap, stream_cap = 8, 256, None
         else:
-            slots, max_new, prompt_cap = 16, rt.decode_bucket * 8, 512
+            slots, prompt_cap, stream_cap = 16, 512, 14
         budget = self.config.gpt.max_position_embeddings - max_new
         max_prompt = max(64, min(prompt_cap, (budget // 64) * 64))
         buckets = tuple(b for b in (64, 128, 256, 512)
@@ -1156,6 +1130,7 @@ class Chat:
             collect_hidden=True,
             prompt_buckets=buckets,
             preempt_after_chunks=4,
+            max_stream_slots=stream_cap,
         )
 
     def _engine_for_code(self, tier: str = "capacity"):
@@ -1175,7 +1150,12 @@ class Chat:
 
     def _engine_for_code_auto(self, n_requests: int, max_new: int,
                               prompt_len: int):
-        """Pick the cheapest code-engine tier that fits the workload."""
+        """Pick the cheapest code-engine tier that fits the WORKLOAD.
+
+        Routing is by batch width and prompt length - ``max_new`` is only a
+        capacity check, never a router: the default ceiling (2048) says
+        nothing about how long an EOS-terminated request actually runs, and
+        both tiers carry the full generation region anyway."""
         fast = self._code_engine_geometry("fast")
         if (n_requests <= fast.max_num_seqs
                 and max_new <= fast.max_new_tokens

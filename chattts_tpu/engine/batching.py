@@ -93,6 +93,15 @@ class EngineConfig:
     # a teacher-forced prompt extension (no work lost), giving round-robin
     # time slices under contention.
     preempt_after_chunks: Optional[int] = None
+    # starvation bound for STREAMING saturation: at most this many
+    # device-streaming (stream_hiddens_dev) slots run concurrently; further
+    # streaming requests queue (order preserved) while non-streaming work
+    # admits past them.  Complements preemption: a long stream becomes
+    # unpreemptable once its resume prompt outgrows the prefill bucket, so
+    # without a cap a streaming-majority mix could hold every slot forever
+    # (reference fairness via preemption, velocity/scheduler.py:222-249).
+    # None = no cap.
+    max_stream_slots: Optional[int] = None
 
     def __post_init__(self):
         # the packed per-chunk id transfer carries at most chunk_steps_max
@@ -142,8 +151,13 @@ class EngineRequest:
     # the request's FULL cumulative (max_new, D) device hiddens row (rows
     # beyond the kept count are garbage; track length via the id counts)
     # instead of a host increment - the consumer vocodes windows on device
-    # and only PCM crosses the host link.  Pins the slot against
-    # preemption-by-recompute (a resume would scatter hiddens to host).
+    # and only PCM crosses the host link.  Preemption-by-recompute is
+    # allowed: the resume prefill re-scatters the teacher-forced prefix's
+    # hiddens into the new slot's buffer (GLOBAL positions), so post-resume
+    # snapshots stay position-aligned.  Tokens are exact across a resume;
+    # the prefix hiddens are recomputed (prefill vs step numerics differ by
+    # bf16 reduction order), so conv context near the seam can drift by
+    # float epsilon.
     stream_hiddens_dev: bool = False
     # host progress hook fn(done_steps), fired from harvest every chunk
     # (rides the existing per-chunk status read; show_tqdm support)
@@ -152,7 +166,6 @@ class EngineRequest:
     # -- internal (engine-managed) ---------------------------------------
     _attempts: int = 0           # ensure_non_empty retries so far
     _resume_ids: Optional[np.ndarray] = None      # (n, num_vq) generated
-    _resume_hiddens: Optional[np.ndarray] = None  # (n, D) before preemption
     _emitted: int = 0            # tokens already streamed via on_tokens
 
     @property
@@ -454,10 +467,32 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
                 )
             ids_pad = jnp.pad(ids, ((0, 0), (off, Tc - Tp), (0, 0)))
             kv_pad = jnp.pad(attn, ((0, 0), (off, Tc - Tp)))
+            if ecfg.collect_hidden:
+                # preemption-resume: the hiddens buffer uses GLOBAL token
+                # positions, so re-seed [0, seq_off) with the teacher-forced
+                # prefix's hiddens, recomputed by this very prefill.  The
+                # producer of generated token j sits at prompt position
+                # Tpb - seq_off + j - 1 (resume tokens are the prompt tail).
+                # Rows >= seq_off zero (rewritten as decode progresses or
+                # masked by end counts).  Fresh admissions (seq_off == 0)
+                # just clear the reused slot's stale rows.
+                Hp = min(Tpb, ecfg.max_new_tokens)
+                jr = jnp.arange(Hp)
+                src = jnp.clip(Tpb - seq_off[:, None] - 1 + jr[None, :],
+                               0, Tpb - 1)
+                prefix = jnp.take_along_axis(
+                    hidden_all, src[:, :, None], axis=1)
+                prefix = jnp.where(
+                    (jr[None, :] < seq_off[:, None])[:, :, None],
+                    prefix.astype(st.hiddens.dtype), 0.0)
+                new_hiddens = st.hiddens.at[slots, :Hp].set(prefix)
+            else:
+                new_hiddens = st.hiddens
             return st._replace(
                 cache=cache,
                 ids=st.ids.at[slots].set(ids_pad),
                 key_valid=st.key_valid.at[slots].set(kv_pad),
+                hiddens=new_hiddens,
                 hidden=st.hidden.at[slots].set(
                     hidden_all[:, -1].astype(st.hidden.dtype)),
                 cur=st.cur.at[slots].set(Tp),
@@ -557,7 +592,13 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
         key_valid = st.key_valid.at[rows, st.cur].set(
             st.key_valid[rows, st.cur] | live)
         if ecfg.collect_hidden:
-            hid_pos = jnp.clip(st.step_in, 0, ecfg.max_new_tokens - 1)
+            # GLOBAL position: buffer index == the request's generated-token
+            # index even across preemption-resume (the prefill re-scatters
+            # the teacher-forced prefix's hiddens at [0, seq_off)), so every
+            # consumer - harvest windows, device-streaming snapshots, the
+            # finish gather - indexes hiddens by global counts directly
+            hid_pos = jnp.clip(st.seq_off + st.step_in, 0,
+                               ecfg.max_new_tokens - 1)
             hiddens = st.hiddens.at[rows, hid_pos].set(
                 jnp.where(live[:, None], st.hidden, st.hiddens[rows, hid_pos]))
         else:
@@ -901,13 +942,25 @@ class Engine:
         nvq = self.cfg.num_vq
         wave: List = []  # (slot, req, bucket)
         free = [s for s in range(ecfg.max_num_seqs) if self.slots[s] is None]
-        for s in free:
-            if not self.waiting:
-                break
+        cap = ecfg.max_stream_slots
+        stream_live = sum(1 for r in self.slots
+                          if r is not None and r.stream_hiddens_dev)
+        deferred: List[EngineRequest] = []  # streamers past the cap
+        fi = 0
+        while fi < len(free) and self.waiting:
             req = self.waiting.popleft()
+            if (cap is not None and req.stream_hiddens_dev
+                    and stream_live >= cap):
+                deferred.append(req)  # later non-streaming work admits past
+                continue
+            s = free[fi]
+            fi += 1
+            stream_live += bool(req.stream_hiddens_dev)
             pids, _ = self._prompt_arrays(req)
             Tpb = next(b for b in ecfg.buckets if b >= pids.shape[0])
             wave.append((s, req, Tpb))
+        for r in reversed(deferred):  # preserve queue order at the front
+            self.waiting.appendleft(r)
         for Tpb in sorted({b for _, _, b in wave}):
             group = [(s, r) for s, r, b in wave if b == Tpb]
             n = len(group)
@@ -975,8 +1028,6 @@ class Engine:
         for s, req in enumerate(self.slots):
             if req is None or finish[s] or self._slot_chunks[s] < pa:
                 continue
-            if req.stream_hiddens_dev:
-                continue  # device-streaming consumers hold slot handles
             gen = int(end_idx[s])
             resume_total = req.ids.shape[0] + int(seq_off[s]) + gen
             if resume_total > max_bucket:
@@ -988,17 +1039,14 @@ class Engine:
         _, s = max(cands)
         req = self.slots[s]
         gen = int(end_idx[s])
+        # ids already live on the host (per-chunk packed transfer); hiddens
+        # need NO capture - the resume prefill recomputes the teacher-forced
+        # prefix's hiddens straight into the new slot's buffer (global
+        # positions), so preemption costs zero device reads
         new_ids = self._acc_ids[s][:gen]
         prev = req._resume_ids
         req._resume_ids = (new_ids if prev is None
                            else np.concatenate([prev, new_ids]))
-        if self.ecfg.collect_hidden:
-            # prefix-stable even with a speculative chunk in flight (device
-            # writes only append at positions >= gen for live slots)
-            new_hid = np.asarray(self.state.hiddens[s, :gen])
-            prevh = req._resume_hiddens
-            req._resume_hiddens = (new_hid if prevh is None
-                                   else np.concatenate([prevh, new_hid]))
         self.slots[s] = None
         self.state = self.state._replace(
             active=self.state.active.at[s].set(False))
@@ -1008,38 +1056,67 @@ class Engine:
         self.waiting.append(req)
         self.stats["preemptions"] = self.stats.get("preemptions", 0) + 1
 
+    def _new_ids_slice(self, s: int, req: EngineRequest, lo: int, n: int
+                       ) -> np.ndarray:
+        """Generated ids [lo, n) in GLOBAL counts: stitches the stashed
+        resume prefix (tokens generated before this slot tenure that were
+        never streamed - a preemption can land between a token's generation
+        and its emission) with this tenure's accumulated ids."""
+        off = req.resume_len
+        parts = []
+        if lo < off:
+            parts.append(req._resume_ids[lo:off].astype(np.int32))
+        if n > off:
+            parts.append(self._acc_ids[s][max(0, lo - off): n - off])
+        if not parts:
+            return np.zeros((0, self.cfg.num_vq), np.int32)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
     def _harvest(self) -> List[EngineOutput]:
         st = self.state
         finish, active, end_idx, step_in, max_new, _ = self._status[:6]
         outputs: List[EngineOutput] = []
         freed: List[int] = []  # slots released this harvest
         # generated ids already live on the host (self._acc_ids, fed by the
-        # per-chunk packed transfer); only host-streaming / resumed hiddens
-        # still need a bulk device read - pre-scan how much
+        # per-chunk packed transfer); only host-streaming hiddens still need
+        # a bulk device read - pre-scan WHICH slots and how much.  The
+        # hiddens buffer uses GLOBAL positions (resume prefixes re-scattered
+        # at prefill), so slicing indexes by global counts directly.
         def dev_hiddens_ok(req):
-            # non-streaming and device-streaming non-resumed requests keep
-            # hiddens ON DEVICE (per-slot copy at finish); host-streaming
-            # and preemption-resumed ones still need the host window
+            # non-streaming and device-streaming requests keep hiddens ON
+            # DEVICE (batched gather at finish) - including resumed ones
+            # (the prefix lives in the buffer); only host-streaming
+            # consumers need host windows
             return (self.ecfg.collect_hidden
-                    and (req.on_tokens is None or req.stream_hiddens_dev)
-                    and req._resume_hiddens is None)
+                    and (req.on_tokens is None or req.stream_hiddens_dev))
 
         need_hid = 0
+        need_rows: List[int] = []  # slots whose hiddens must cross to host
         for s, req in enumerate(self.slots):
             if req is None or not active[s]:
                 continue
             off = req.resume_len
+            need_s = 0
             if (req.on_tokens is not None and not req.stream_hiddens_dev
                     and off + step_in[s] > req._emitted):
-                need_hid = max(need_hid, int(min(end_idx[s], step_in[s])))
+                need_s = off + int(min(end_idx[s], step_in[s]))
             if finish[s] and not dev_hiddens_ok(req):
-                need_hid = max(need_hid, int(end_idx[s]))
+                need_s = max(need_s, off + int(end_idx[s]))
+            if need_s:
+                need_rows.append(s)
+                need_hid = max(need_hid, need_s)
         hid_np = None
-        if need_hid and self.ecfg.collect_hidden:
+        hid_row = {}
+        if need_rows and self.ecfg.collect_hidden:
+            # ONE gather of ONLY the needing slots' windows (a full
+            # (S, need, D) read taxed every host-streamer with the whole
+            # engine's hiddens - a 16x overfetch at capacity shape);
             # prefix-stable even with a speculative chunk in flight (writes
             # append at positions >= the statused counts for live slots)
-            hid_np = np.asarray(st.hiddens[:, :need_hid])
-        dev_gather: List = []  # (output_index, slot, n) finishing dev slots
+            hid_np = np.asarray(
+                st.hiddens[np.asarray(need_rows), :need_hid])
+            hid_row = {s: i for i, s in enumerate(need_rows)}
+        dev_gather: List = []  # (output_index, slot, total) finishing slots
         for s, req in enumerate(self.slots):
             if req is None or not active[s]:
                 continue
@@ -1065,7 +1142,7 @@ class Engine:
                 n = off + int(min(end_idx[s], step_in[s]))
                 lo = req._emitted
                 if n > lo or fin:
-                    new_ids = self._acc_ids[s][lo - off : n - off]
+                    new_ids = self._new_ids_slice(s, req, lo, n)
                     if not self.ecfg.collect_hidden:
                         new_hid = None
                     elif req.stream_hiddens_dev:
@@ -1079,7 +1156,7 @@ class Engine:
                         # id counts and mask beyond it.
                         new_hid = st.hiddens[s]
                     else:
-                        new_hid = (hid_np[s, lo - off : n - off] if n > lo
+                        new_hid = (hid_np[hid_row[s], lo:n] if n > lo
                                    else np.zeros((0, st.hiddens.shape[-1]),
                                                  np.float32))
                     req.on_tokens(req.request_id, new_ids, new_hid, fin)
@@ -1104,11 +1181,9 @@ class Engine:
                     # replaces a per-slot dispatch round trip each
                     use_gather = True
                 else:
-                    hid = (hid_np[s, :n].copy() if n
+                    hid = (hid_np[hid_row[s], :total].copy() if total
                            else np.zeros((0, st.hiddens.shape[-1]),
                                          np.float32))
-                    if req._resume_hiddens is not None:
-                        hid = np.concatenate([req._resume_hiddens, hid])
             reason = "length" if total >= int(max_new[s]) else "eos"
             self.slots[s] = None
             freed.append(s)  # active flags clear in ONE batched scatter below
@@ -1126,7 +1201,7 @@ class Engine:
                 metrics={"gen_tokens": float(total),
                          "latency_s": time.monotonic() - req.arrival})
             if use_gather:
-                dev_gather.append((len(outputs), s, n))
+                dev_gather.append((len(outputs), s, total))
             outputs.append(out)
             # `total` counts resumed tokens too; they were never tallied at
             # preemption time, so this does not double count

@@ -404,3 +404,77 @@ class AsyncDeviceWindows(DeviceStreamingDecoder):
 
     def _cat(self, out: list):
         return out
+
+
+class EmissionPacer:
+    """Reference emission cadence + deferred-PCM assembly, shared by every
+    streaming consumer (Chat._stream_batch and TTSService.synthesize_stream
+    - keep them from drifting).
+
+    Cadence mirrors the reference (core.py:487-503): withhold the first
+    ``pass_first_n`` pushes, then each push emits UP TO ``stream_speed``
+    samples (excess stays pending for the next push); ``flush`` emits
+    whatever remains, silence-stripped (core.py:501-503).
+
+    A push accepts either a materialized (B, n) array (plain decoders) or a
+    LIST of device sample slices with async host copies in flight
+    (:class:`AsyncDeviceWindows`).  Deferred lists materialize one push
+    LATE - chunk k's PCM transfers while chunk k+1 computes - except the
+    TTFA-critical pushes before the first emission and the final one, which
+    materialize immediately.  ``wire_int16`` dequantizes deferred int16
+    slices at materialization (non-deferred decoders scale internally)."""
+
+    def __init__(self, batch: int, pass_first_n: int, stream_speed: int,
+                 wire_int16: bool):
+        self.pass_first_n = pass_first_n
+        self.stream_speed = stream_speed
+        self.wire = wire_int16
+        self.pending = np.zeros((batch, 0), np.float32)
+        self.deferred: list = []
+        self.push_count = 0
+        self.emitted_any = False
+
+    def _mat(self, parts: list) -> np.ndarray:
+        if not parts:
+            return np.zeros((self.pending.shape[0], 0), np.float32)
+        out = np.concatenate([np.asarray(p) for p in parts], axis=1)
+        return out.astype(np.float32) / 32767.0 if self.wire else out
+
+    def push(self, chunk, final: bool = False) -> Optional[np.ndarray]:
+        """Absorb one decode chunk's samples; returns the window to emit
+        (None when nothing should be yielded this push)."""
+        if isinstance(chunk, list):
+            if final or not self.emitted_any:
+                chunk = self._mat(self.deferred + chunk)
+                self.deferred = []
+            else:
+                self.deferred, chunk = chunk, self._mat(self.deferred)
+        self.pending = np.concatenate([self.pending, chunk], axis=1)
+        self.push_count += 1
+        if self.push_count <= self.pass_first_n:
+            return None
+        emit = self.pending[:, : self.stream_speed]
+        self.pending = self.pending[:, self.stream_speed :]
+        if emit.size:
+            self.emitted_any = True
+            return emit
+        return None
+
+    def flush(self, tail=None) -> np.ndarray:
+        """Final emission: absorb an optional tail chunk, materialize any
+        deferred windows, silence-strip, and return the remainder."""
+        if tail is not None:
+            if isinstance(tail, list):
+                self.deferred = self.deferred + tail
+            else:
+                if self.deferred:
+                    self.pending = np.concatenate(
+                        [self.pending, self._mat(self.deferred)], axis=1)
+                    self.deferred = []
+                self.pending = np.concatenate([self.pending, tail], axis=1)
+        if self.deferred:
+            self.pending = np.concatenate(
+                [self.pending, self._mat(self.deferred)], axis=1)
+            self.deferred = []
+        keep = np.sum(np.abs(self.pending) > 1e-5, axis=0) > 0
+        return self.pending[:, keep]

@@ -56,7 +56,8 @@ class TTSService:
         self._engs = [chat._engine_for_code(), chat._engine_for_text()]
         self._mu = threading.Lock()      # guards both engines + pending map
         self._work = threading.Event()
-        self._pending: dict[str, "queue.Queue"] = {}
+        # rid -> (mailbox, owning engine): failures are scoped per engine
+        self._pending: dict[str, tuple] = {}
         self._stop = False
         self.max_concurrent_slots = 0    # peak code-engine occupancy (stats)
         self._driver = threading.Thread(target=self._drive, daemon=True,
@@ -84,22 +85,26 @@ class TTSService:
                     busy = True
                     try:
                         outs = eng.step()
-                    except Exception:  # noqa: BLE001 - a dead driver would
-                        # leave every waiter blocked forever; fail them all
-                        logger.exception("engine step failed; failing "
+                    except Exception:  # noqa: BLE001 - a dead engine would
+                        # leave its waiters blocked forever; fail THEM (and
+                        # only them - requests on the other, healthy engine
+                        # keep running: per-engine abort semantics,
+                        # reference llm_engine.py:365-371)
+                        logger.exception("engine step failed; failing its "
                                          "in-flight requests")
                         eng.interrupt()
-                        for rid in list(self._pending):
-                            self._pending.pop(rid).put(None)
+                        for rid in [r for r, (_, owner) in
+                                    self._pending.items() if owner is eng]:
+                            self._pending.pop(rid)[0].put(None)
                         continue
                     if not eng.ecfg.infer_text:
                         self.max_concurrent_slots = max(
                             self.max_concurrent_slots,
                             eng.stats.get("peak_slots", 0))
                     for o in outs:
-                        mailbox = self._pending.pop(o.request_id, None)
-                        if mailbox is not None:
-                            mailbox.put(o)
+                        entry = self._pending.pop(o.request_id, None)
+                        if entry is not None:
+                            entry[0].put(o)
                 if not busy:
                     self._work.clear()
 
@@ -112,9 +117,9 @@ class TTSService:
         with self._mu:
             for eng in self._engines():
                 if eng.abort_request(request_id) is not None:
-                    mailbox = self._pending.pop(request_id, None)
-                    if mailbox is not None:
-                        mailbox.put(None)
+                    entry = self._pending.pop(request_id, None)
+                    if entry is not None:
+                        entry[0].put(None)
                     return True
         return False
 
@@ -127,9 +132,9 @@ class TTSService:
                 dropped = eng.interrupt()
                 n += len(dropped)
                 for r in dropped:
-                    mailbox = self._pending.pop(r.request_id, None)
-                    if mailbox is not None:
-                        mailbox.put(None)
+                    entry = self._pending.pop(r.request_id, None)
+                    if entry is not None:
+                        entry[0].put(None)
         return n
 
     @staticmethod
@@ -144,7 +149,7 @@ class TTSService:
         with self._mu:
             for r in reqs:
                 mailbox = queue.Queue(maxsize=1)
-                self._pending[r.request_id] = mailbox
+                self._pending[r.request_id] = (mailbox, eng)
                 eng.add_request(r)
                 futs.append(mailbox)
         self._work.set()
@@ -221,9 +226,17 @@ class TTSService:
         window vocode slices/pads/decodes on device, and only finished PCM
         crosses the host link - no per-chunk hidden download or per-window
         re-upload (the velocity fork keeps hiddens in outputs for exactly
-        this consumer, sequence.py:84-88)."""
+        this consumer, sequence.py:84-88).
+
+        Emission follows the facade's streaming machinery exactly: the
+        reference cadence (withhold ``pass_first_n_batches`` yields, then
+        ``stream_speed``-sample windows, silence-stripped tail - reference
+        core.py:487-503) and deferred PCM (AsyncDeviceWindows: chunk k's
+        sample copies transfer while chunk k+1 decodes), both via the
+        shared :class:`EmissionPacer`."""
         c = self.chat
         params = params_code or Chat.InferCodeParams()
+        rt = c.config.runtime
         inc_q: queue.Queue = queue.Queue()
         count = [0]
 
@@ -239,7 +252,13 @@ class TTSService:
             r.stream_hiddens_dev = True
         self._submit(c._engine_for_code(), reqs)
 
-        sd = c._device_stream_decoder(1, params.stream_batch)
+        from .engine.streaming import EmissionPacer
+
+        defer = rt.stream_window_ahead
+        sd = c._device_stream_decoder(1, params.stream_batch,
+                                      async_windows=defer)
+        pacer = EmissionPacer(1, params.pass_first_n_batches,
+                              params.stream_speed, rt.wire_int16)
         cum = None
         n = 0
         finished = False
@@ -251,6 +270,13 @@ class TTSService:
                 continue
             # full fixed-shape row: the window jit compiles once; rows
             # beyond n are garbage but every decode window ends at <= n
-            out = sd.update_dev(cum[None], n, final=finished)
-            if out.size:
-                yield out
+            chunk = sd.update_dev(cum[None], n, final=finished)
+            emit = pacer.push(chunk, final=finished)
+            if emit is not None:
+                yield emit
+        tail = None
+        if cum is not None and n and sd.emitted < sd.available:
+            tail = sd.update_dev(cum[None], n, final=True)
+        final_chunk = pacer.flush(tail)
+        if final_chunk.size:
+            yield final_chunk

@@ -150,6 +150,63 @@ def test_service_abort_unblocks_waiter(tiny_config):
         svc.close()
 
 
+def test_service_failure_scoped_to_failed_engine(tiny_config):
+    """When one engine's step() throws, ONLY that engine's waiters fail;
+    a concurrent request on the other, healthy engine still returns
+    (per-engine abort semantics, reference llm_engine.py:365-371)."""
+    import pytest as _pytest
+
+    from chattts_tpu.core import Chat
+    from chattts_tpu.serving import TTSService
+
+    chat = Chat(config=tiny_config)
+    chat.load(source="random", seed=0, use_engine=True)
+    svc = TTSService(chat)
+    try:
+        svc._stop = True  # drive manually for determinism
+        svc._work.set()
+        svc._driver.join(timeout=10)
+        code_eng = chat._engine_for_code()
+        text_eng = chat._engine_for_text()
+
+        # poison the CODE engine's step
+        orig_step = code_eng.step
+        code_eng.step = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected step failure"))
+
+        p = Chat.InferCodeParams(max_new_token=8, min_new_token=8)
+        code_futs = svc._submit(code_eng, svc._code_reqs(["will fail"], p))
+        from chattts_tpu.engine.batching import EngineRequest
+
+        rp = Chat.RefineTextParams(max_new_token=6, min_new_token=2)
+        ids, attn, tmask = chat.tokenizer.encode(
+            ["healthy refine"], chat.config.gpt.num_vq)
+        n = int(attn[0].sum())
+        text_futs = svc._submit(text_eng, [EngineRequest(
+            request_id="svc-refine-healthy",
+            ids=ids[0, ids.shape[1] - n:],
+            text_mask=tmask[0, ids.shape[1] - n:],
+            temperature=np.asarray([rp.temperature], np.float32),
+            min_new=rp.min_new_token, max_new=rp.max_new_token, seed=1)])
+
+        # run the driver's loop body once by hand: code engine throws
+        svc._stop = False
+        svc._work.set()
+        import threading
+
+        t = threading.Thread(target=svc._drive, daemon=True)
+        t.start()
+        # healthy engine's request completes...
+        out = text_futs[0].get(timeout=30)
+        assert out is not None and out.request_id == "svc-refine-healthy"
+        # ...while the poisoned engine's waiter failed fast
+        with _pytest.raises(InterruptedError):
+            svc._result(code_futs[0])
+        code_eng.step = orig_step
+    finally:
+        svc.close()
+
+
 def test_text_mode(tiny_config, params):
     cfg = tiny_config.gpt
     eng = _mk_engine(tiny_config, params, infer_text=True,
@@ -589,25 +646,132 @@ def test_device_streaming_hiddens(tiny_config, params):
                                   out1[0].host_hiddens())
 
 
-def test_device_streaming_pins_slot(tiny_config, params):
-    """Preemption-by-recompute must skip device-streaming slots (their
-    consumers hold device row handles; a recompute would scatter hiddens
-    through the host)."""
+def test_device_streaming_slot_preemptable(tiny_config, params):
+    """Device-streaming slots ARE preemptable (round-4): the resume prefill
+    re-scatters the teacher-forced prefix's hiddens into the new slot at
+    GLOBAL positions, so the consumer's cumulative snapshots stay
+    position-aligned, tokens are exact, and a short request no longer
+    starves behind a long stream."""
     cfg = tiny_config.gpt
-    eng = _mk_engine(tiny_config, params, max_num_seqs=1, chunk_steps=2,
-                     preempt_after_chunks=1, max_new_tokens=16)
+    mk = lambda **kw: _mk_engine(tiny_config, params, max_num_seqs=1,
+                                 chunk_steps=2, max_new_tokens=16, **kw)
+
+    # reference run: no contention, no preemption
+    ref_inc = []
+    eng0 = mk()
+    eng0.generate([_req(cfg, "pin", seed=3, min_new=14, max_new=14,
+                        stream_hiddens_dev=True,
+                        on_tokens=lambda rid, ids, hid, fin:
+                        ref_inc.append((None if ids is None else ids.copy(),
+                                        hid)))])
+
+    eng = mk(preempt_after_chunks=1)
+    inc = []
+    last_snap = {}
+
+    def on_tokens(rid, ids, hid, fin):
+        inc.append(None if ids is None else ids.copy())
+        if hid is not None:
+            last_snap["hid"] = hid
+
     long = _req(cfg, "pin", seed=3, min_new=14, max_new=14,
-                on_tokens=lambda *a: None, stream_hiddens_dev=True)
+                on_tokens=on_tokens, stream_hiddens_dev=True)
     short = _req(cfg, "short", seed=4, min_new=2, max_new=2)
+    eng.add_request(long)
+    eng.add_request(short)
+    outs, order = [], []
+    while eng.has_unfinished():
+        for o in eng.step():
+            outs.append(o)
+            order.append(o.request_id)
+    assert eng.stats.get("preemptions", 0) > 0
+    assert order[0] == "short"  # no longer starved
+    by_id = {o.request_id: o for o in outs}
+    assert by_id["pin"].ids.shape[0] == 14
+    assert by_id["short"].ids.shape[0] == 2
+    # streamed ids across the preemption stitch back token-exact
+    streamed = np.concatenate([i for i in inc if i is not None])
+    np.testing.assert_array_equal(streamed, by_id["pin"].ids)
+    ref_streamed = np.concatenate([i for i, _ in ref_inc if i is not None])
+    np.testing.assert_array_equal(streamed, ref_streamed)
+    # the final cumulative snapshot is position-aligned: rows [0, 14) are
+    # the request's own hiddens (recomputed prefix within float tolerance)
+    ref_hid = np.asarray([h for _, h in ref_inc if h is not None][-1])[:14]
+    got_hid = np.asarray(last_snap["hid"])[:14]
+    np.testing.assert_allclose(got_hid, ref_hid, rtol=2e-2, atol=2e-3)
+
+
+def test_host_streamer_preemption_resume(tiny_config, params):
+    """A HOST-streaming request (on_tokens without stream_hiddens_dev)
+    survives preemption-by-recompute: streamed ids stay token-exact and the
+    per-increment hiddens keep global positions (the post-resume windows
+    slice the re-scattered buffer at the right offsets)."""
+    cfg = tiny_config.gpt
+    mk = lambda **kw: _mk_engine(tiny_config, params, max_num_seqs=1,
+                                 chunk_steps=2, max_new_tokens=16, **kw)
+    ref_ids, ref_hid = [], []
+    eng0 = mk()
+    eng0.generate([_req(cfg, "h", seed=7, min_new=12, max_new=12,
+                        on_tokens=lambda rid, ids, hid, fin: (
+                            ref_ids.append(ids), ref_hid.append(hid)))])
+
+    eng = mk(preempt_after_chunks=1)
+    got_ids, got_hid = [], []
+    long = _req(cfg, "h", seed=7, min_new=12, max_new=12,
+                on_tokens=lambda rid, ids, hid, fin: (
+                    got_ids.append(ids), got_hid.append(hid)))
+    short = _req(cfg, "s", seed=1, min_new=2, max_new=2)
     eng.add_request(long)
     eng.add_request(short)
     outs = []
     while eng.has_unfinished():
         outs.extend(eng.step())
-    assert eng.stats.get("preemptions", 0) == 0
-    by_id = {o.request_id: o for o in outs}
-    assert by_id["pin"].ids.shape[0] == 14
-    assert by_id["short"].ids.shape[0] == 2
+    assert eng.stats.get("preemptions", 0) > 0
+    ids_a = np.concatenate([i for i in ref_ids if i is not None])
+    ids_b = np.concatenate([i for i in got_ids if i is not None])
+    np.testing.assert_array_equal(ids_a, ids_b)
+    hid_a = np.concatenate([h for h in ref_hid if h is not None])
+    hid_b = np.concatenate([h for h in got_hid if h is not None])
+    assert hid_a.shape == hid_b.shape == (12, cfg.hidden_size)
+    # post-resume hiddens recompute the prefix via prefill: float-close
+    np.testing.assert_allclose(hid_b, hid_a, rtol=2e-2, atol=2e-3)
+    out = next(o for o in outs if o.request_id == "h")
+    np.testing.assert_allclose(out.host_hiddens(), hid_a,
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_stream_slot_cap_bounds_starvation(tiny_config, params):
+    """max_stream_slots: a streaming-majority mix cannot hold every slot -
+    capped streamers queue while non-streaming work admits past them, so
+    queued short requests complete in bounded chunks even when streams run
+    too long to stay preemptable."""
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params, max_num_seqs=2, chunk_steps=2,
+                     max_new_tokens=16, max_stream_slots=1)
+    streams = [_req(cfg, f"st{i}", seed=i, min_new=12, max_new=12,
+                    on_tokens=lambda *a: None, stream_hiddens_dev=True)
+               for i in range(3)]
+    for r in streams:
+        eng.add_request(r)
+    outs = []
+    outs.extend(eng.step())
+    # only ONE stream admitted despite 2 free slots
+    live = [r for r in eng.slots if r is not None]
+    assert sum(r.stream_hiddens_dev for r in live) == 1
+    short = _req(cfg, "short", seed=9, min_new=2, max_new=2)
+    eng.add_request(short)
+    steps = 0
+    while eng.has_unfinished():
+        outs.extend(eng.step())
+        steps += 1
+        assert steps < 50
+    order = [o.request_id for o in outs]
+    # the short request did NOT wait for all three 12-token streams
+    assert order.index("short") < order.index("st2")
+    assert {o.request_id for o in outs} == {"st0", "st1", "st2", "short"}
+    for o in outs:
+        want = 2 if o.request_id == "short" else 12
+        assert o.ids.shape[0] == want
 
 
 def test_final_notification_on_chunk_boundary_eos(tiny_config, params):
@@ -673,6 +837,43 @@ def test_service_synthesize_stream_device(tiny_config):
         b = np.concatenate(cb, axis=1)
         assert a.dtype == np.float32 and a.size > 0
         np.testing.assert_allclose(a, b, atol=1e-6)
+    finally:
+        svc.close()
+
+
+def test_service_stream_cadence(tiny_config):
+    """synthesize_stream honors the reference cadence (core.py:487-503):
+    pass_first_n_batches withholds early yields (they accumulate and emit
+    together), stream_speed bounds every mid-stream yield, and the samples
+    themselves are invariant to the cadence parameters."""
+    import dataclasses
+
+    from chattts_tpu.core import Chat
+    from chattts_tpu.serving import TTSService
+
+    chat = Chat(config=tiny_config)
+    chat.load(source="random", seed=0, use_engine=True)
+    svc = TTSService(chat)
+    try:
+        base = Chat.InferCodeParams(max_new_token=72, min_new_token=72,
+                                    manual_seed=9, stream_batch=4)
+        big = 1 << 30
+        b = list(svc.synthesize_stream("cadence", dataclasses.replace(
+            base, pass_first_n_batches=0, stream_speed=big)))
+        a = list(svc.synthesize_stream("cadence", dataclasses.replace(
+            base, pass_first_n_batches=1, stream_speed=big)))
+        ca, cb = np.concatenate(a, axis=1), np.concatenate(b, axis=1)
+        # same audio regardless of cadence
+        np.testing.assert_allclose(ca, cb, atol=1e-5)
+        # the withheld first batch emits together with the second
+        assert len(a) < len(b) or a[0].shape[1] > b[0].shape[1]
+        # stream_speed bounds every yield; the final flush carries the rest
+        d = list(svc.synthesize_stream("cadence", dataclasses.replace(
+            base, pass_first_n_batches=0, stream_speed=512)))
+        assert all(c.shape[1] <= 512 for c in d[:-1])
+        cd = np.concatenate(d, axis=1)
+        n = min(1024, cd.shape[1], cb.shape[1])
+        np.testing.assert_allclose(cd[:, :n], cb[:, :n], atol=1e-5)
     finally:
         svc.close()
 
