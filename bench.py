@@ -112,11 +112,102 @@ def main():
         f"(pass_first_n_batches=0, stream_batch=16, best of 5) / "
         f"{default * 1e3:.0f} ms default cadence "
         f"(2 withheld yields of 24 steps, reference semantics)")
+
+    # ---- serving spine: the engine IS the product's concurrent path ------
+    # (a) capacity-tier saturated offline throughput: 16 requests x 384
+    # steps through Engine.generate - the velocity analog's first-class
+    # observable (reference logs prompt/gen throughput every 5 s,
+    # velocity/llm_engine.py:667-740)
+    eng = chat._engine_for_code("capacity")
+    sat_params = Chat.InferCodeParams(
+        max_new_token=STEPS, min_new_token=STEPS, manual_seed=5,
+        show_tqdm=False)
+    sat_texts = ["Saturated serving benchmark sentence number %d." % i
+                 for i in range(16)]
+
+    def run_engine():
+        reqs = chat._code_requests(sat_texts, sat_params)
+        for i, r in enumerate(reqs):
+            r.request_id = f"bench-sat-{time.monotonic_ns()}-{i}"
+        t0 = time.perf_counter()
+        outs = eng.generate(reqs)
+        wall = time.perf_counter() - t0
+        total = sum(o.metrics["gen_tokens"] for o in outs)
+        return wall, total
+
+    run_engine()  # warmup (compile the 16-slot shapes)
+    eng_tps = 0.0
+    for i in range(3):
+        wall, total = run_engine()
+        tps = total / wall
+        log(f"engine run {i}: wall={wall:.3f}s steps={total:.0f} "
+            f"steps/s={tps:.0f} (speech tokens/s/chip={tps * 4:.0f})")
+        eng_tps = max(eng_tps, tps)
+
+    # (b) concurrent streaming through TTSService: 4 overlapping clients
+    # share the capacity engine's slots; per-stream TTFA and aggregate
+    # decode throughput (lever cadence - the single-stream section above
+    # reports the default-cadence TTFA honestly)
+    from chattts_tpu.serving import TTSService
+
+    svc = TTSService(chat)
+    N_CLIENTS, S_STEPS = 4, 256
+    sp = Chat.InferCodeParams(
+        max_new_token=S_STEPS, min_new_token=S_STEPS, manual_seed=7,
+        stream_batch=16, pass_first_n_batches=0, stream_speed=12000,
+        show_tqdm=False)
+
+    def run_service():
+        import threading
+
+        ttfas = [None] * N_CLIENTS
+        done = [0.0] * N_CLIENTS
+
+        def client(i):
+            t0 = time.perf_counter()
+            for chunk in svc.synthesize_stream(
+                    "Concurrent stream client %d sentence." % i, sp):
+                if chunk.size and ttfas[i] is None:
+                    ttfas[i] = time.perf_counter() - t0
+            done[i] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        ts = [threading.Thread(target=client, args=(i,))
+              for i in range(N_CLIENTS)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        return wall, sorted(t for t in ttfas if t is not None), max(done)
+
+    try:
+        run_service()  # warmup (streaming window shapes)
+        best = None
+        for i in range(3):
+            wall, tt, slowest = run_service()
+            p50 = tt[len(tt) // 2] if tt else float("nan")
+            agg = N_CLIENTS * S_STEPS / wall
+            log(f"service run {i}: wall={wall:.3f}s ttfa_p50={p50 * 1e3:.0f}ms "
+                f"agg steps/s={agg:.0f}")
+            if best is None or agg > best[0]:
+                best = (agg, p50)
+        svc_tps, svc_ttfa = best
+    finally:
+        svc.close()
+    log(f"serving spine: engine {eng_tps:.0f} steps/s saturated, "
+        f"service {N_CLIENTS} streams {svc_tps:.0f} steps/s agg, "
+        f"TTFA p50 {svc_ttfa * 1e3:.0f} ms")
     print(json.dumps({
         "metric": "rtf_batch8_e2e",
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / baseline_rtf, 2),
+        "ttfa_ms_lever": round(lever * 1e3, 1),
+        "ttfa_ms_default": round(default * 1e3, 1),
+        "engine_sat_steps_per_s": round(eng_tps, 1),
+        "svc_stream4_steps_per_s": round(svc_tps, 1),
+        "svc_stream4_ttfa_p50_ms": round(svc_ttfa * 1e3, 1),
     }))
 
 

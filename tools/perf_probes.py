@@ -1,0 +1,151 @@
+"""On-chip perf probes (run on the real TPU chip, ONE process at a time).
+
+Each probe prints its measurements to stdout; results are recorded in
+PERF.md.  Alternating same-process A/Bs only - single runs swing +-10-20%
+with chip weather (see CLAUDE.md).
+
+Usage: python tools/perf_probes.py <probe>
+
+  tier_ab    - facade use_engine=True with DEFAULT InferCodeParams (max_new
+               2048 ceiling, EOS-terminated ~400-step batch) vs the
+               generator path: the round-3 VERDICT's routing acceptance
+               (within ~25% = tier routing fixed).
+  longform   - capacity tier at the advertised workload: 16 slots x 2048
+               steps end to end; compares per-step time vs 16 x 384 to
+               price the KV stream at depth (kv-int8 ship/close decision).
+  service_ab - TTSService.synthesize_stream wall vs the facade
+               engine-backend stream (same params): the service must ride
+               the same latency machinery (round-3 weak #3).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _load(use_engine=True):
+    from chattts_tpu.config import Config
+    from chattts_tpu.core import Chat
+
+    cfg = Config().with_runtime(wire_int16=True)
+    chat = Chat(config=cfg)
+    chat.load(source="random", seed=0, use_engine=use_engine)
+    return chat
+
+
+def tier_ab():
+    from chattts_tpu.core import Chat
+
+    chat = _load()
+    texts = ["Benchmark sentence number %d for tier routing." % i
+             for i in range(8)]
+    # DEFAULT ceiling (2048), EOS-terminated around ~400 steps: min_new
+    # forces 384, then any-codebook EOS lands within ~tens of steps on
+    # seeded-random weights.  Same seed => generator and engine produce
+    # token-identical sequences (wire-pinned), so walls are comparable.
+    params = Chat.InferCodeParams(min_new_token=384, manual_seed=11,
+                                  show_tqdm=False)
+
+    def run(use_engine):
+        chat.use_engine = use_engine
+        t0 = time.perf_counter()
+        wavs = chat._generate_wavs(texts, True, params)
+        return time.perf_counter() - t0, wavs.shape
+
+    for be in (True, False):
+        w, shape = run(be)
+        print(f"warmup use_engine={be}: {w:.2f}s {shape}")
+    walls = {True: [], False: []}
+    for i in range(4):  # alternating A/B
+        for be in (True, False):
+            w, shape = run(be)
+            walls[be].append(w)
+            print(f"run {i} use_engine={be}: wall={w:.3f}s wav={shape}")
+    ge, gg = min(walls[True]), min(walls[False])
+    print(f"BEST engine={ge:.3f}s generator={gg:.3f}s "
+          f"ratio={gg / ge:.3f} (target >= 0.75)")
+
+
+def longform():
+    from chattts_tpu.core import Chat
+
+    chat = _load()
+    eng = chat._engine_for_code("capacity")
+    texts = ["Long form serving sentence %d." % i for i in range(16)]
+
+    def run(steps):
+        params = Chat.InferCodeParams(
+            max_new_token=steps, min_new_token=steps, manual_seed=5,
+            show_tqdm=False)
+        reqs = chat._code_requests(texts, params)
+        for i, r in enumerate(reqs):
+            r.request_id = f"lf-{steps}-{time.monotonic_ns()}-{i}"
+        t0 = time.perf_counter()
+        outs = eng.generate(reqs)
+        wall = time.perf_counter() - t0
+        total = sum(o.metrics["gen_tokens"] for o in outs)
+        return wall, total
+
+    run(384)  # warmup/compile
+    for steps in (384, 2048, 384, 2048):  # alternating
+        wall, total = run(steps)
+        per_step = wall / steps * 1e3
+        print(f"16x{steps}: wall={wall:.2f}s steps/s={total / wall:.0f} "
+              f"speech tokens/s/chip={4 * total / wall:.0f} "
+              f"chunk-step={per_step:.3f} ms (16 rows)")
+
+
+def service_ab():
+    from chattts_tpu.core import Chat
+    from chattts_tpu.serving import TTSService
+
+    chat = _load()
+    params = Chat.InferCodeParams(
+        max_new_token=384, min_new_token=384, manual_seed=3,
+        stream_batch=24, pass_first_n_batches=0, stream_speed=12000,
+        show_tqdm=False)
+    text = "Service streaming A B sentence."
+    svc = TTSService(chat)
+
+    def run_svc():
+        t0 = time.perf_counter()
+        ttfa = None
+        n = 0
+        for c in svc.synthesize_stream(text, params):
+            if c.size and ttfa is None:
+                ttfa = time.perf_counter() - t0
+            n += c.shape[1]
+        return time.perf_counter() - t0, ttfa, n
+
+    def run_facade():
+        chat.use_engine = True
+        t0 = time.perf_counter()
+        ttfa = None
+        n = 0
+        for c in chat.infer(text, stream=True, skip_refine_text=True,
+                            params_infer_code=params):
+            if c.size and ttfa is None:
+                ttfa = time.perf_counter() - t0
+            n += c.shape[1]
+        return time.perf_counter() - t0, ttfa, n
+
+    try:
+        run_svc()
+        run_facade()
+        for i in range(4):
+            ws, ts, ns = run_svc()
+            wf, tf, nf = run_facade()
+            print(f"run {i}: service wall={ws:.3f}s ttfa={ts * 1e3:.0f}ms "
+                  f"n={ns} | facade wall={wf:.3f}s ttfa={tf * 1e3:.0f}ms "
+                  f"n={nf}")
+    finally:
+        svc.close()
+
+
+if __name__ == "__main__":
+    probe = sys.argv[1] if len(sys.argv) > 1 else "tier_ab"
+    {"tier_ab": tier_ab, "longform": longform,
+     "service_ab": service_ab}[probe]()
