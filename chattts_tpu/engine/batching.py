@@ -311,16 +311,25 @@ def _host_slot_key(seed: int, attempt: int) -> np.ndarray:
 
 
 def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int,
-                fused: bool = False) -> SlotState:
+                fused: bool = False, kv8: bool = False) -> SlotState:
     S, Tc = ecfg.max_num_seqs, ecfg.cache_len
     D = cfg.hidden_size
     HD = cfg.num_attention_heads * cfg.head_dim
     L = cfg.num_hidden_layers
     hshape = (S, ecfg.max_new_tokens, D) if ecfg.collect_hidden else (S, 1, 1)
     if fused:
-        # flat stacked layout for the whole-step megakernel's manual DMA
-        cache = (jnp.zeros((L, S, Tc, HD), jnp.bfloat16),
-                 jnp.zeros((L, S, Tc, HD), jnp.bfloat16))
+        # flat stacked layout for the whole-step megakernel's manual DMA;
+        # kv8 = int8 rows + embedded scales (ops/pallas_step.kv8_quantize),
+        # cache length padded to the 32-row int8 append-window alignment
+        if kv8:
+            from ..ops.pallas_step import KV_PAD
+
+            Tc8 = ((Tc + 31) // 32) * 32
+            cache = (jnp.zeros((L, S, Tc8, HD + KV_PAD), jnp.int8),
+                     jnp.zeros((L, S, Tc8, HD + KV_PAD), jnp.int8))
+        else:
+            cache = (jnp.zeros((L, S, Tc, HD), jnp.bfloat16),
+                     jnp.zeros((L, S, Tc, HD), jnp.bfloat16))
     else:
         cache = KVCache.create(cfg, S, Tc)
     return SlotState(
@@ -384,7 +393,8 @@ def _state_specs(cfg: GPTConfig, ecfg: EngineConfig):
 
 
 @functools.lru_cache(maxsize=8)
-def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
+def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False,
+                   kv8: bool = False):
     S, Tp, Tc = ecfg.max_num_seqs, ecfg.max_prompt_len, ecfg.cache_len
     num_vq = cfg.num_vq
     HD = cfg.num_attention_heads * cfg.head_dim
@@ -455,6 +465,13 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False):
                 # scatter value is (L, W, Tpb, HD)
                 mk = jnp.stack(mini_cache.k, axis=0).reshape(L, W, Tpb, HD)
                 mv = jnp.stack(mini_cache.v, axis=0).reshape(L, W, Tpb, HD)
+                if kv8:
+                    # quantize at the prefill -> decode boundary; appended
+                    # rows use the same scheme in-kernel
+                    from ..ops.pallas_step import kv8_quantize
+
+                    mk = kv8_quantize(mk, cfg)
+                    mv = kv8_quantize(mv, cfg)
                 kc = kc.at[:, slots, off:off + Tpb].set(mk)
                 vc = vc.at[:, slots, off:off + Tpb].set(mv)
                 cache = (kc, vc)
@@ -703,6 +720,9 @@ class Engine:
         # S=32: fused 10.3k tokens/s vs better XLA behavior at wide batch.
         self._fused = (use_fused_step(cfg) and mesh is None
                        and ecfg.max_num_seqs <= 16)
+        from .generate import kv_int8
+
+        self._kv8 = self._fused and kv_int8(cfg)
         self._packed = {}
         if self._fused:
             if packed is not None:
@@ -716,7 +736,8 @@ class Engine:
                 self._packed = pack_step_params(gpt_params, cfg,
                                                 int8=step_int8(),
                                                 int4=step_int4())
-        self.state = _init_state(cfg, ecfg, seed, fused=self._fused)
+        self.state = _init_state(cfg, ecfg, seed, fused=self._fused,
+                                 kv8=self._kv8)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -737,7 +758,8 @@ class Engine:
         self.embed_params = embed_params
         self.spk_emb_ids = spk_emb_ids
         self._prefill, self._chunk = _build_kernels(cfg, ecfg,
-                                                     fused=self._fused)
+                                                     fused=self._fused,
+                                                     kv8=self._kv8)
         self._wave_sizes = sorted({w for _, w in self._prefill})
         self.waiting: collections.deque[EngineRequest] = collections.deque()
         self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs

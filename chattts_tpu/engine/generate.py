@@ -167,16 +167,38 @@ def step_int4() -> bool:
     return os.environ.get("CHATTTS_STEP_INT4", "0") == "1"
 
 
+def kv_int8(cfg: GPTConfig) -> bool:
+    """Opt-in int8 KV cache (CHATTTS_KV_INT8=1), fused-step path only.
+
+    Rows store int8 values with embedded per-(token, head) (mantissa,
+    exponent) scales (ops/pallas_step.kv8_quantize); the kernel quantizes
+    appends and folds the dequant scales into the attention scores/probs.
+    Cuts the KV stream to ~58% of bf16 - at the capacity tier's long-form
+    shape (16 x 2048, PERF.md) the KV stream costs ~35% of the step, so
+    this is the depth-scaling lever.  Orthogonal to the weight-slab tiers
+    (CHATTTS_STEP_INT8/INT4)."""
+    return (os.environ.get("CHATTTS_KV_INT8", "0") == "1"
+            and use_fused_step(cfg))
+
+
 @functools.lru_cache(maxsize=32)
 def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
-               apply_spk: bool):
-    """Compile-cached (prefill_fn, chunk_fn) for one shape bucket."""
+               apply_spk: bool, kv8: bool = False):
+    """Compile-cached (prefill_fn, chunk_fn) for one shape bucket.
+
+    ``kv8`` is an explicit cache key (callers pass ``kv_int8(cfg)``): the
+    flag changes the traced cache dtype/width, so reading the env inside
+    would hand a stale cached fn to a process that flips the env between
+    loads (the same trap the packed-slab dtype avoids by being an arg)."""
     num_vq = cfg.num_vq
     # cache/buffer lengths stay multiples of 8 (Pallas DMA sublane alignment;
     # T0 is already bucketed).  Generation still stops at the caller's
     # max_new; the rounded tail slots are never written.
     max_new = _round_up(max_new, 8)
     Tbuf = T0 + max_new
+    # int8-kv append windows are 32-row (int8 tile sublane): pad the CACHE
+    # length only; ids/key_valid/hiddens stay at Tbuf/max_new
+    Tcache = _round_up(Tbuf, 32) if kv8 else Tbuf
     eos_token = (cfg.num_audio_tokens - 1) if not infer_text else None
     max_penalized = (cfg.num_audio_tokens - 1) if not infer_text else cfg.num_text_tokens
     fused = use_fused_step(cfg)
@@ -198,6 +220,12 @@ def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
             # flat stacked layout for the megakernel's manual DMA
             cache = (jnp.stack([c.reshape(B, Tbuf, HD) for c in cache.k]),
                      jnp.stack([c.reshape(B, Tbuf, HD) for c in cache.v]))
+            if kv8:
+                from ..ops.pallas_step import kv8_quantize
+
+                pad = ((0, 0), (0, 0), (0, Tcache - Tbuf), (0, 0))
+                cache = tuple(kv8_quantize(jnp.pad(c, pad), cfg)
+                              for c in cache)
         return GenState(
             cache=cache,
             ids=jnp.pad(ids0, ((0, 0), (0, max_new), (0, 0))),
@@ -425,7 +453,8 @@ class Generator:
         B = ids.shape[0]
         apply_spk = req.spk_vec is not None
         prefill_jit, chunk_jit = _build_fns(
-            self.cfg, req.infer_text, B, T0, req.max_new, apply_spk)
+            self.cfg, req.infer_text, B, T0, req.max_new, apply_spk,
+            kv_int8(self.cfg))
 
         spk_vec = (jnp.asarray(req.spk_vec, jnp.float32) if apply_spk
                    else jnp.zeros((self.cfg.hidden_size,), jnp.float32))

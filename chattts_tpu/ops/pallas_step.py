@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 WRING = 4   # weight-slab ring depth
 KRING = 2   # kv chunk double buffer
+KV_PAD = 128  # int8-kv row pad lanes carrying embedded per-head scales
 
 
 def rope_rotate_matrix(head_dim: int, hd: int) -> np.ndarray:
@@ -70,6 +71,58 @@ def _int4_groups(D: int):
     if (D // 2) % gs:
         raise ValueError("geometry not int4-groupable")
     return gs, D // gs
+
+
+def kv8_quantize(flat: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Quantize (..., T, HD) k/v rows to the int8-kv wire layout.
+
+    Row layout (lane axis): ``[q(HD) | m(H) | e(H) | zeros]`` padded to
+    ``HD + KV_PAD`` lanes (a 128-lane pad keeps the row a whole number of
+    TPU tiles).  Each head's scale is stored as a (mantissa, exponent)
+    int8 pair with ``scale = m * 2^e`` and m in [64, 127] (7-bit mantissa,
+    <= 0.8% scale error); ``m`` is rounded UP so the quantized values never
+    clip past +-127.  All-zero heads store m = 0 (scale 0).
+
+    The decode kernel appends new rows with the same scheme, so a cache
+    quantized here (the prefill -> decode boundary) and rows appended
+    in-kernel dequantize identically.  Net row bytes vs bf16:
+    (HD + 128) / (2 * HD) ~ 58% at HD=768 - the KV stream at long context
+    costs ~35% of the capacity tier's step time (PERF.md 16x2048), so the
+    saved bytes buy real time.
+    """
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    HD = H * Dh
+    if 2 * H > KV_PAD:
+        raise ValueError("too many heads for the kv-int8 scale lanes")
+    x = flat.astype(jnp.float32)
+    lead = x.shape[:-1]
+    xh = x.reshape(lead + (H, Dh))
+    a = jnp.max(jnp.abs(xh), axis=-1)          # (..., H) per-head absmax
+    sc = a / 127.0
+    e = jnp.floor(jnp.log2(jnp.maximum(sc, 1e-30)))
+    m = jnp.ceil(sc * jnp.exp2(-e) * 64.0)     # in [64, 128]
+    e = jnp.where(m > 127.0, e + 1.0, e)
+    m = jnp.where(m > 127.0, 64.0, m)
+    m = jnp.where(a > 0.0, m, 0.0)
+    es = jnp.clip(e - 6.0, -126.0, 126.0)
+    sdec = m * jnp.exp2(es)                    # decoded scale >= sc
+    q = jnp.clip(jnp.round(xh / jnp.maximum(sdec, 1e-30)[..., None]),
+                 -127.0, 127.0).astype(jnp.int8)
+    pad = jnp.zeros(lead + (KV_PAD - 2 * H,), jnp.int8)
+    return jnp.concatenate(
+        [q.reshape(lead + (HD,)), m.astype(jnp.int8), es.astype(jnp.int8),
+         pad], axis=-1)
+
+
+def kv8_dequantize(rows: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Inverse of :func:`kv8_quantize`: (..., T, HD + KV_PAD) int8 -> f32."""
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    HD = H * Dh
+    lead = rows.shape[:-1]
+    q = rows[..., :HD].astype(jnp.float32).reshape(lead + (H, Dh))
+    m = rows[..., HD:HD + H].astype(jnp.float32)
+    es = rows[..., HD + H:HD + 2 * H].astype(jnp.float32)
+    return (q * (m * jnp.exp2(es))[..., None]).reshape(lead + (HD,))
 
 
 def pack_step_params(params: dict, cfg, int8: bool = False,
@@ -164,9 +217,10 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
             wsem, ksem, vsem, rsem, *,
             B: int, D: int, HD: int, H: int, I: int, T: int, TC: int,
             S: int, L: int, eps: float, scale: float, per_slot: bool,
-            int8: bool, int4: bool, WRING: int, BS: int):
+            int8: bool, int4: bool, WRING: int, BS: int, kv8: bool):
     l = pl.program_id(0)
     r = I // D
+    RW = 32 if kv8 else 8  # append-window rows (int8 tiles are 32-sublane)
     NBL = S // BS       # weight bundles per layer: BS consecutive slabs
     #                     ride ONE async copy (BS=1 == one DMA per slab,
     #                     the measured-best default; see wrapper comment)
@@ -261,16 +315,16 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     # the HBM round trip hides behind the qkv matmuls + rope
     if per_slot:
         for b in range(B):
-            s8 = (cur_ref[1 + b] // 8) * 8
-            pltpu.make_async_copy(kc_out.at[l, b, pl.ds(s8, 8)], rowk.at[b],
+            s8 = (cur_ref[1 + b] // RW) * RW
+            pltpu.make_async_copy(kc_out.at[l, b, pl.ds(s8, RW)], rowk.at[b],
                                   rsem.at[0, b]).start()
-            pltpu.make_async_copy(vc_out.at[l, b, pl.ds(s8, 8)], rowv.at[b],
+            pltpu.make_async_copy(vc_out.at[l, b, pl.ds(s8, RW)], rowv.at[b],
                                   rsem.at[1, b]).start()
     else:
-        start8 = (cur_max // 8) * 8
-        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
+        start8 = (cur_max // RW) * RW
+        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, RW)], rowk,
                               rsem.at[0, 0]).start()
-        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
+        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, RW)], rowv,
                               rsem.at[1, 0]).start()
 
     x = xs[...]  # (B, D) f32
@@ -285,7 +339,44 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     q = q * cosf + mm(q, rope) * sinf
     k = k * cosf + mm(k, rope) * sinf
 
-    # ---- append k/v at cur (aligned 8-row RMW) ---------------------------
+    # (hoisted constants: the kv8 append quantizer needs the head selector)
+    head_of = lax.broadcasted_iota(jnp.int32, (HD, H), 0) // (HD // H)
+    colh = lax.broadcasted_iota(jnp.int32, (HD, H), 1)
+    eh = (head_of == colh)
+    ehf = eh.astype(jnp.float32)
+
+    if kv8:
+        Dh = HD // H
+
+        def _q_row(xrow):
+            """(B, HD) f32 -> (B, HD + KV_PAD) int8 row — kv8_quantize's
+            scheme in-kernel (per-head absmax -> (m, e) scale pair), so
+            appended rows and prefill-quantized rows dequantize alike."""
+            parts = [jnp.max(jnp.abs(xrow[:, hh * Dh:(hh + 1) * Dh]), axis=1)
+                     for hh in range(H)]
+            a = jnp.stack(parts, axis=1)             # (B, H)
+            sc = a / 127.0
+            e = jnp.floor(jnp.log2(jnp.maximum(sc, 1e-30)))
+            mant = jnp.ceil(sc * jnp.exp2(-e) * 64.0)
+            e = jnp.where(mant > 127.0, e + 1.0, e)
+            mant = jnp.where(mant > 127.0, 64.0, mant)
+            mant = jnp.where(a > 0.0, mant, 0.0)
+            es = jnp.clip(e - 6.0, -126.0, 126.0)
+            sdec = mant * jnp.exp2(es)               # (B, H)
+            sexp = lax.dot_general(sdec, ehf, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+            qr = jnp.clip(jnp.round(xrow / jnp.maximum(sexp, 1e-30)),
+                          -127.0, 127.0).astype(jnp.int8)
+            return jnp.concatenate(
+                [qr, mant.astype(jnp.int8), es.astype(jnp.int8),
+                 jnp.zeros((B, KV_PAD - 2 * H), jnp.int8)], axis=1)
+
+        k_row = _q_row(k)
+        v_row = _q_row(v)
+    else:
+        k_row, v_row = k, v
+
+    # ---- append k/v at cur (aligned RW-row RMW) --------------------------
     # single-generation path: all rows share cur -> one batched RMW window;
     # continuous-batching path (per_slot): every row has its own aligned
     # window - all 2B reads (then writes) go out concurrently and the waits
@@ -293,22 +384,24 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     if per_slot:
         wr = []
         for b in range(B):
-            s8 = (cur_ref[1 + b] // 8) * 8
+            s8 = (cur_ref[1 + b] // RW) * RW
             pltpu.make_async_copy(
-                kc_out.at[l, b, pl.ds(s8, 8)], rowk.at[b], rsem.at[0, b]).wait()
+                kc_out.at[l, b, pl.ds(s8, RW)], rowk.at[b], rsem.at[0, b]).wait()
             pltpu.make_async_copy(
-                vc_out.at[l, b, pl.ds(s8, 8)], rowv.at[b], rsem.at[1, b]).wait()
-        start8v = (curv // 8) * 8  # (B, 1)
-        sel = (lax.broadcasted_iota(jnp.int32, (B, 8, 1), 1)
+                vc_out.at[l, b, pl.ds(s8, RW)], rowv.at[b], rsem.at[1, b]).wait()
+        start8v = (curv // RW) * RW  # (B, 1)
+        sel = (lax.broadcasted_iota(jnp.int32, (B, RW, 1), 1)
                == (curv - start8v)[:, :, None])
-        rowk[...] = jnp.where(sel, k[:, None, :].astype(rowk.dtype), rowk[...])
-        rowv[...] = jnp.where(sel, v[:, None, :].astype(rowv.dtype), rowv[...])
+        rowk[...] = jnp.where(sel, k_row[:, None, :].astype(rowk.dtype),
+                              rowk[...])
+        rowv[...] = jnp.where(sel, v_row[:, None, :].astype(rowv.dtype),
+                              rowv[...])
         for b in range(B):
-            s8 = (cur_ref[1 + b] // 8) * 8
+            s8 = (cur_ref[1 + b] // RW) * RW
             wr.append((pltpu.make_async_copy(
-                rowk.at[b], kc_out.at[l, b, pl.ds(s8, 8)], rsem.at[0, b]),
+                rowk.at[b], kc_out.at[l, b, pl.ds(s8, RW)], rsem.at[0, b]),
                 pltpu.make_async_copy(
-                rowv.at[b], vc_out.at[l, b, pl.ds(s8, 8)], rsem.at[1, b])))
+                rowv.at[b], vc_out.at[l, b, pl.ds(s8, RW)], rsem.at[1, b])))
         for ck, cv in wr:
             ck.start()
             cv.start()
@@ -316,22 +409,24 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
             ck.wait()
             cv.wait()
     else:
-        start8 = (cur_max // 8) * 8
-        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, 8)], rowk,
+        start8 = (cur_max // RW) * RW
+        pltpu.make_async_copy(kc_out.at[l, :, pl.ds(start8, RW)], rowk,
                               rsem.at[0, 0]).wait()
-        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, 8)], rowv,
+        pltpu.make_async_copy(vc_out.at[l, :, pl.ds(start8, RW)], rowv,
                               rsem.at[1, 0]).wait()
-        sel = (lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+        sel = (lax.broadcasted_iota(jnp.int32, (1, RW, 1), 1)
                == (cur_max - start8))
-        rowk[...] = jnp.where(sel, k[:, None, :].astype(rowk.dtype), rowk[...])
-        rowv[...] = jnp.where(sel, v[:, None, :].astype(rowv.dtype), rowv[...])
-        pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, 8)],
+        rowk[...] = jnp.where(sel, k_row[:, None, :].astype(rowk.dtype),
+                              rowk[...])
+        rowv[...] = jnp.where(sel, v_row[:, None, :].astype(rowv.dtype),
+                              rowv[...])
+        pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, RW)],
                               rsem.at[0, 0]).start()
-        pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
+        pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, RW)],
                               rsem.at[1, 0]).start()
-        pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, 8)],
+        pltpu.make_async_copy(rowk, kc_out.at[l, :, pl.ds(start8, RW)],
                               rsem.at[0, 0]).wait()
-        pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, 8)],
+        pltpu.make_async_copy(rowv, vc_out.at[l, :, pl.ds(start8, RW)],
                               rsem.at[1, 0]).wait()
 
     # (deferring these write waits into the chunk loop measured ~15 us
@@ -339,10 +434,6 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     # critical path here and the extra in-loop control flow costs more)
 
     # ---- attention over chunks [0, cur], online softmax ------------------
-    head_of = lax.broadcasted_iota(jnp.int32, (HD, H), 0) // (HD // H)
-    colh = lax.broadcasted_iota(jnp.int32, (HD, H), 1)
-    eh = (head_of == colh)
-    ehf = eh.astype(jnp.float32)
     qms = [jnp.where(eh, (q[b] * scale)[:, None], 0.0).astype(jnp.bfloat16)
            for b in range(B)]  # per-row (HD, H) block-diag selectors
 
@@ -363,15 +454,28 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
                               kbuf.at[slot], ksem.at[slot]).wait()
         pltpu.make_async_copy(vc_out.at[l, :, pl.ds(c * TC, TC)],
                               vbuf.at[slot], vsem.at[slot]).wait()
-        kc = kbuf[slot]  # (B, TC, HD) bf16
+        kc = kbuf[slot]  # (B, TC, HD) bf16 | (B, TC, HD + KV_PAD) int8
         vc = vbuf[slot]
+        if kv8:
+            # embedded per-(token, head) scales: fold k's into the scores
+            # AFTER the matmul and v's into p BEFORE the accumulation -
+            # exact dequantization at (TC, H) cost instead of (TC, HD)
+            ksc = (kc[:, :, HD:HD + H].astype(jnp.float32)
+                   * jnp.exp2(kc[:, :, HD + H:HD + 2 * H].astype(
+                       jnp.float32)))
+            vsc = (vc[:, :, HD:HD + H].astype(jnp.float32)
+                   * jnp.exp2(vc[:, :, HD + H:HD + 2 * H].astype(
+                       jnp.float32)))
         t_ids = c * TC + lax.broadcasted_iota(jnp.int32, (1, TC, 1), 1)
         rows = []
         for b in range(B):
-            s_b = lax.dot_general(kc[b], qms[b], (((1,), (0,)), ((), ())),
+            kb = kc[b, :, :HD].astype(jnp.bfloat16) if kv8 else kc[b]
+            s_b = lax.dot_general(kb, qms[b], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
             rows.append(s_b)  # (TC, H)
         s = jnp.stack(rows)  # (B, TC, H)
+        if kv8:
+            s = s * ksc
         vis = (t_ids >= lo[:, :, None]) & (t_ids <= curv[:, :, None])
         s = jnp.where(vis, s, NEG)
         m_n = jnp.maximum(m_p, jnp.max(s, axis=1))      # (B, H)
@@ -381,11 +485,14 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
         # o(b, hD) += sum_t p(b,t,h(D)) v(b,t,hD)
         pv_rows = []
         for b in range(B):
-            p_exp = lax.dot_general(p[b].astype(jnp.bfloat16),
+            pb = (p[b] * vsc[b]) if kv8 else p[b]
+            p_exp = lax.dot_general(pb.astype(jnp.bfloat16),
                                     eh.astype(jnp.bfloat16),
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            pv_rows.append(jnp.sum(p_exp * vc[b].astype(jnp.float32), axis=0))
+            vb = (vc[b, :, :HD].astype(jnp.float32) if kv8
+                  else vc[b].astype(jnp.float32))
+            pv_rows.append(jnp.sum(p_exp * vb, axis=0))
         pv = jnp.stack(pv_rows)  # (B, HD)
         corr_exp = lax.dot_general(corr, ehf, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -448,8 +555,14 @@ def decode_step_fused(
     B, T = k_cache.shape[1], k_cache.shape[2]
     r = I // D
     S = 4 + 3 * r
-    if T % 8:
-        raise ValueError("cache length must be a multiple of 8")
+    kv8 = k_cache.dtype == jnp.int8  # kv8_quantize row layout
+    KW = HD + KV_PAD if kv8 else HD
+    if kv8 and (k_cache.shape[3] != KW or 2 * H > KV_PAD):
+        raise ValueError("cache width does not match the kv-int8 layout")
+    if T % (32 if kv8 else 8):
+        # int8 tiles are 32-sublane: the append RMW windows are 32-row
+        raise ValueError("cache length must be a multiple of %d"
+                         % (32 if kv8 else 8))
     # kv chunk buffers are (KRING, B, TC, HD) x2: cap TC so they stay inside
     # scoped VMEM at any batch size.  Other scratch (gate/up, append windows,
     # per-row selectors) also grows with B, so the kv budget shrinks for
@@ -461,7 +574,8 @@ def decode_step_fused(
 
     mb = int(os.environ.get("CHATTTS_STEP_VMEM_MB", "6"))
     budget = (mb << 20) if B <= 16 else (2 << 20)
-    budget_rows = max(8, budget // (2 * KRING * B * HD * 2))
+    kv_pos_bytes = KW if kv8 else HD * 2  # bytes per (row, position)
+    budget_rows = max(8, budget // (2 * KRING * B * kv_pos_bytes))
     # largest multiple of 8 that divides T and fits the requested chunk
     TC = min(t_chunk, T, (budget_rows // 8) * 8)
     while T % TC:
@@ -511,7 +625,8 @@ def decode_step_fused(
     kernel = functools.partial(
         _kernel, B=B, D=D, HD=HD, H=H, I=I, T=T, TC=TC, S=S, L=L,
         eps=cfg.rms_norm_eps, scale=1.0 / float(np.sqrt(Dh)),
-        per_slot=per_slot, int8=int8, int4=int4, WRING=wring, BS=BS)
+        per_slot=per_slot, int8=int8, int4=int4, WRING=wring, BS=BS,
+        kv8=kv8)
     ws_spec = (pl.BlockSpec((None,) + wscale.shape[1:],
                             lambda l: (l, 0, 0, 0)) if int4 else
                pl.BlockSpec((None, S, D), lambda l: (l, 0, 0)))
@@ -544,15 +659,16 @@ def decode_step_fused(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, T, HD), k_cache.dtype),
-            jax.ShapeDtypeStruct((L, B, T, HD), v_cache.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((wring, BS, wrows, D), packed["W"].dtype),  # w ring
-            pltpu.VMEM((KRING, B, TC, HD), k_cache.dtype),
-            pltpu.VMEM((KRING, B, TC, HD), v_cache.dtype),
-            pltpu.VMEM((B, 8, HD), k_cache.dtype),        # append window k
-            pltpu.VMEM((B, 8, HD), v_cache.dtype),        # append window v
+            pltpu.VMEM((KRING, B, TC, KW), k_cache.dtype),
+            pltpu.VMEM((KRING, B, TC, KW), v_cache.dtype),
+            # append RMW windows (int8 tiles are 32-sublane -> 32 rows)
+            pltpu.VMEM((B, 32 if kv8 else 8, KW), k_cache.dtype),
+            pltpu.VMEM((B, 32 if kv8 else 8, KW), v_cache.dtype),
             pltpu.VMEM((B, D), jnp.float32),              # hidden carry
             pltpu.VMEM((B, I), jnp.float32),              # gate
             pltpu.VMEM((B, I), jnp.float32),              # up

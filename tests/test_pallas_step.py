@@ -283,3 +283,170 @@ def test_fused_step_int4_close_to_xla():
     h_fused = llama.rms_norm(x_out, params["norm"], CFG.rms_norm_eps)
     np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
                                atol=0.35, rtol=0.35)
+
+
+# ---- int8 KV cache (CHATTTS_KV_INT8) --------------------------------------
+
+
+def test_kv8_quantize_round_trip():
+    """Dequantized kv8 rows stay within half a quantization step of the
+    source, with the (m, e) scale pair's <=0.8% upward slack."""
+    rng = np.random.default_rng(0)
+    H, Dh = CFG.num_attention_heads, CFG.head_dim
+    HD = H * Dh
+    x = (rng.standard_normal((3, 2, 16, HD)) * 2.5).astype(np.float32)
+    x[0, 0, 3] = 0.0  # all-zero row: scale 0, must round-trip to zeros
+    rows = pallas_step.kv8_quantize(jnp.asarray(x), CFG)
+    assert rows.shape == (3, 2, 16, HD + pallas_step.KV_PAD)
+    assert rows.dtype == jnp.int8
+    deq = np.asarray(pallas_step.kv8_dequantize(rows, CFG))
+    a = np.abs(x.reshape(3, 2, 16, H, Dh)).max(-1)   # per-head absmax
+    # step = scale <= (absmax/127) * (1 + 1/64); |err| <= step/2
+    bound = (a / 127.0) * 1.02 * 0.5 + 1e-7
+    err = np.abs(deq - x).reshape(3, 2, 16, H, Dh).max(-1)
+    assert (err <= bound).all()
+    np.testing.assert_array_equal(deq[0, 0, 3], np.zeros(HD))
+
+
+def _kv8_caches(cache):
+    HD = CFG.num_attention_heads * CFG.head_dim
+    kc = jnp.stack([c.reshape(B, T, HD) for c in cache.k])
+    vc = jnp.stack([c.reshape(B, T, HD) for c in cache.v])
+    return (pallas_step.kv8_quantize(kc, CFG),
+            pallas_step.kv8_quantize(vc, CFG))
+
+
+def test_fused_step_kv8_close_to_xla():
+    """int8-KV fused step tracks the XLA step (bf16 cache) within
+    quantization tolerance, and the appended row dequantizes to the
+    reference k/v within one quantization step."""
+    cur = 11
+    params, packed, cache, emb, lo, kv, pos = _setup(cur=cur)
+    h_ref, cache_ref = llama.decode_step(
+        params, emb, cache, jnp.int32(cur), kv, pos, CFG)
+    kc8, vc8 = _kv8_caches(cache)
+    hist_k = np.asarray(kc8)  # history rows must round-trip untouched
+    x_out, kc2, vc2 = pallas_step.decode_step_fused(
+        packed, emb, kc8, vc8, jnp.int32(cur), lo, pos, CFG,
+        t_chunk=8, interpret=True)
+    h_fused = llama.rms_norm(x_out, params["norm"], CFG.rms_norm_eps)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               atol=0.15, rtol=0.15)
+    HD = CFG.num_attention_heads * CFG.head_dim
+    for li in range(CFG.num_hidden_layers):
+        got = np.asarray(pallas_step.kv8_dequantize(kc2[li, :, cur], CFG))
+        ref = np.asarray(cache_ref.k[li][:, cur].reshape(B, HD), np.float32)
+        np.testing.assert_allclose(got, ref, atol=0.2, rtol=0.1)
+        np.testing.assert_array_equal(np.asarray(kc2[li, :, :cur]),
+                                      hist_k[li, :, :cur])
+
+
+def test_fused_step_kv8_per_slot_cur():
+    """Per-slot cur (continuous batching) with the int8 KV cache."""
+    params, packed, cache, emb, lo, kv, pos = _setup(cur=11)
+    cur = jnp.asarray([11, 17], jnp.int32)
+    slots = np.arange(T)
+    kv = jnp.asarray(
+        (slots[None, :] >= np.asarray([0, 3])[:, None])
+        & (slots[None, :] <= np.asarray(cur)[:, None]))
+    pos_s = cur - lo
+    h_ref, cache_ref = llama.decode_step(params, emb, cache, cur, kv,
+                                         pos_s, CFG)
+    kc8, vc8 = _kv8_caches(cache)
+    x_out, kc2, vc2 = pallas_step.decode_step_fused(
+        packed, emb, kc8, vc8, cur, lo, pos_s, CFG, t_chunk=8,
+        interpret=True)
+    h_fused = llama.rms_norm(x_out, params["norm"], CFG.rms_norm_eps)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               atol=0.15, rtol=0.15)
+    HD = CFG.num_attention_heads * CFG.head_dim
+    for b, c in enumerate([11, 17]):
+        got = np.asarray(pallas_step.kv8_dequantize(kc2[0, b, c], CFG))
+        ref = np.asarray(cache_ref.k[0][b, c].reshape(HD), np.float32)
+        np.testing.assert_allclose(got, ref, atol=0.2, rtol=0.1)
+
+
+def test_fused_step_kv8_chunk_consistent():
+    """Chunk size never changes the kv8 result (scale folding is exact
+    w.r.t. the stored int8 values, independent of chunking)."""
+    params, packed, cache, emb, lo, kv, pos = _setup(cur=9)
+    kc8, vc8 = _kv8_caches(cache)
+    outs = []
+    for tc in (8, 16, 32):
+        x_out, _, _ = pallas_step.decode_step_fused(
+            packed, emb, kc8, vc8, jnp.int32(9), lo, pos, CFG,
+            t_chunk=tc, interpret=True)
+        outs.append(np.asarray(x_out))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-3)
+    np.testing.assert_allclose(outs[0], outs[2], atol=1e-3)
+
+
+def test_generator_with_kv8(monkeypatch):
+    """The whole Generator loop runs with CHATTTS_KV_INT8=1 (fused path in
+    interpret mode) and stays seed-deterministic."""
+    monkeypatch.setenv("CHATTTS_PALLAS_STEP", "1")
+    monkeypatch.setenv("CHATTTS_KV_INT8", "1")
+    from chattts_tpu.engine import generate as gen_mod
+    gen_mod._build_fns.cache_clear()
+    try:
+        from chattts_tpu.models import embed as embed_mod
+
+        assert gen_mod.kv_int8(CFG)
+        params = llama.init_params(jax.random.PRNGKey(0), CFG)
+        eparams = embed_mod.init_params(jax.random.PRNGKey(1), CFG)
+        g = gen_mod.Generator(CFG, params, eparams, prefill_bucket=16)
+        rng = np.random.default_rng(0)
+        req = gen_mod.GenerateRequest(
+            ids=rng.integers(5, 50, (2, 9, CFG.num_vq)).astype(np.int32),
+            attn_mask=np.ones((2, 9), bool), text_mask=np.ones((2, 9), bool),
+            infer_text=False, eos_token=CFG.num_audio_tokens - 1,
+            temperature=np.full((CFG.num_vq,), 0.7, np.float32),
+            max_new=8, min_new=4, seed=11, return_hidden=True)
+        out1 = next(g.generate(req))
+        out2 = next(g.generate(req))
+        for a, b in zip(out1.ids, out2.ids):
+            np.testing.assert_array_equal(a, b)
+        assert 4 <= out1.ids[0].shape[0] <= 8
+        assert (out1.ids[0] < CFG.num_audio_tokens - 1).all()
+    finally:
+        gen_mod._build_fns.cache_clear()
+
+
+def test_engine_with_kv8(monkeypatch):
+    """The continuous-batching engine runs on the int8 KV cache (fused
+    interpret path): state cache is int8 + padded width, outputs are
+    seed-deterministic and valid."""
+    monkeypatch.setenv("CHATTTS_PALLAS_STEP", "1")
+    monkeypatch.setenv("CHATTTS_KV_INT8", "1")
+    from chattts_tpu.engine.batching import (Engine, EngineConfig,
+                                             EngineRequest)
+    from chattts_tpu.models import embed as embed_mod
+
+    params = llama.init_params(jax.random.PRNGKey(0), CFG)
+    eparams = embed_mod.init_params(jax.random.PRNGKey(1), CFG)
+    ecfg = EngineConfig(max_num_seqs=2, max_prompt_len=16, max_new_tokens=8,
+                        chunk_steps=4, infer_text=False, collect_hidden=True)
+
+    def run():
+        eng = Engine(CFG, ecfg, params, eparams, seed=7)
+        assert eng._kv8
+        kc, vc = eng.state.cache
+        HD = CFG.num_attention_heads * CFG.head_dim
+        assert kc.dtype == jnp.int8
+        assert kc.shape[3] == HD + pallas_step.KV_PAD
+        assert kc.shape[2] % 32 == 0
+        rng = np.random.default_rng(3)
+        reqs = [EngineRequest(
+            request_id=f"r{i}",
+            ids=rng.integers(5, 50, (6 + i, CFG.num_vq)).astype(np.int32),
+            text_mask=np.ones((6 + i,), bool),
+            temperature=np.full((CFG.num_vq,), 0.7, np.float32),
+            min_new=3, max_new=6, seed=100 + i) for i in range(3)]
+        return eng.generate(reqs)
+
+    outs1, outs2 = run(), run()
+    for a, b in zip(outs1, outs2):
+        np.testing.assert_array_equal(a.ids, b.ids)
+        assert 3 <= a.ids.shape[0] <= 6
+        assert (a.ids < CFG.num_audio_tokens - 1).all()
+        assert a.finish_reason in ("eos", "length")

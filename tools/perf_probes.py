@@ -20,10 +20,14 @@ Usage: python tools/perf_probes.py <probe>
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python tools/perf_probes.py` (script dir is sys.path[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _load(use_engine=True):
@@ -145,7 +149,116 @@ def service_ab():
         svc.close()
 
 
+
+
+def longform_kv8():
+    """Same-process A/B of the int8 KV cache at the long-form serving
+    shape (16 x 2048) and the bench shape (16 x 384).  Builds one engine
+    per cache dtype from the same loaded weights (the env flag is read at
+    Engine construction), so chip weather hits both sides alike."""
+    import os
+
+    from chattts_tpu.core import Chat
+    from chattts_tpu.engine.batching import Engine
+
+    chat = _load()
+    texts = ["Long form serving sentence %d." % i for i in range(16)]
+    engines = {}
+    for kv8 in (False, True):
+        os.environ["CHATTTS_KV_INT8"] = "1" if kv8 else "0"
+        engines[kv8] = Engine(
+            chat.config.gpt, chat._code_engine_geometry("capacity"),
+            chat.gpt_params, chat.embed_params,
+            spk_emb_ids=chat.tokenizer.spk_emb_ids,
+            packed=chat._step_slabs())
+        assert engines[kv8]._kv8 == kv8
+
+    def run(eng, steps):
+        params = Chat.InferCodeParams(
+            max_new_token=steps, min_new_token=steps, manual_seed=5,
+            show_tqdm=False)
+        reqs = chat._code_requests(texts, params)
+        for i, r in enumerate(reqs):
+            r.request_id = f"lf8-{steps}-{time.monotonic_ns()}-{i}"
+        t0 = time.perf_counter()
+        outs = eng.generate(reqs)
+        wall = time.perf_counter() - t0
+        return wall, sum(o.metrics["gen_tokens"] for o in outs)
+
+    for kv8 in (False, True):  # warmup/compile both
+        run(engines[kv8], 384)
+    for steps in (384, 2048, 384, 2048):
+        for kv8 in (False, True):
+            wall, total = run(engines[kv8], steps)
+            print(f"16x{steps} kv8={int(kv8)}: wall={wall:.2f}s "
+                  f"steps/s={total / wall:.0f} "
+                  f"chunk-step={wall / steps * 1e3:.3f} ms")
+
+
+def kv8_kl():
+    """Teacher-forced logits divergence of the int8 KV cache vs bf16 at
+    full geometry (the PERF.md quantization-tier methodology: identical
+    per-step inputs, code logits at T=0.7, never free-running)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chattts_tpu.config import Config
+    from chattts_tpu.models import embed as embed_mod
+    from chattts_tpu.models import llama
+    from chattts_tpu.ops import pallas_step
+
+    cfg = Config().gpt
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    eparams = embed_mod.init_params(jax.random.PRNGKey(1), cfg)
+    packed = pallas_step.pack_step_params(params, cfg)
+    B, T0, steps = 8, 64, 64
+    HD = cfg.num_attention_heads * cfg.head_dim
+    T = T0 + ((steps + 31) // 32) * 32
+    rng = jax.random.PRNGKey(42)
+    k0 = jax.random.normal(jax.random.PRNGKey(2), (cfg.num_hidden_layers,
+                                                   B, T, HD), jnp.bfloat16)
+    v0 = jax.random.normal(jax.random.PRNGKey(3), (cfg.num_hidden_layers,
+                                                   B, T, HD), jnp.bfloat16)
+    mask = (jnp.arange(T)[None, :] < T0).astype(jnp.bfloat16)[None, :, :, None]
+    k0, v0 = k0 * mask, v0 * mask  # only the prompt region is live
+    caches = {
+        "bf16": (k0, v0),
+        "kv8": (pallas_step.kv8_quantize(k0, cfg),
+                pallas_step.kv8_quantize(v0, cfg)),
+    }
+    lo = jnp.zeros((B,), jnp.int32)
+
+    @jax.jit
+    def logits_of(x_out):
+        h = llama.rms_norm(x_out, params["norm"], cfg.rms_norm_eps)
+        lg = embed_mod.head_code(eparams, h)  # (B, num_vq, V)
+        return jax.nn.log_softmax(lg.astype(jnp.float32) / 0.7, axis=-1)
+
+    kls, top1 = [], []
+    embs = jax.random.normal(rng, (steps, B, cfg.hidden_size),
+                             jnp.float32) * 0.3
+    for s in range(steps):
+        cur = jnp.int32(T0 + s)
+        pos = jnp.full((B,), T0 + s, jnp.int32)
+        outs = {}
+        for name in ("bf16", "kv8"):
+            x, kc, vc = pallas_step.decode_step_fused(
+                packed, embs[s], caches[name][0], caches[name][1],
+                cur, lo, pos, cfg=cfg)
+            caches[name] = (kc, vc)
+            outs[name] = logits_of(x)
+        pa, pb = outs["bf16"], outs["kv8"]
+        kl = jnp.sum(jnp.exp(pa) * (pa - pb), axis=-1)
+        kls.append(float(jnp.mean(kl)))
+        top1.append(float(jnp.mean(
+            (jnp.argmax(pa, -1) == jnp.argmax(pb, -1)))))
+    print(f"kv8 teacher-forced divergence over {steps} steps "
+          f"(B={B}, T0={T0}): mean KL {np.mean(kls):.4f} nats "
+          f"(max {np.max(kls):.4f}), top-1 agreement {np.mean(top1):.3f}")
+
+
 if __name__ == "__main__":
     probe = sys.argv[1] if len(sys.argv) > 1 else "tier_ab"
     {"tier_ab": tier_ab, "longform": longform,
-     "service_ab": service_ab}[probe]()
+     "service_ab": service_ab, "longform_kv8": longform_kv8,
+     "kv8_kl": kv8_kl}[probe]()
