@@ -718,8 +718,15 @@ class Engine:
         # Above 16 slots the kernel's VMEM budget forces tiny kv chunks
         # (see ops/pallas_step TC cap) and the XLA step wins - measured
         # S=32: fused 10.3k tokens/s vs better XLA behavior at wide batch.
+        # CHATTTS_ENGINE_FUSED_SLOTS raises the gate for A/Bs (int8-kv
+        # chunks halve the VMEM cost per position, which may revive wide
+        # fused engines - probe before trusting).
+        import os as _os
+
+        fused_slots = int(_os.environ.get("CHATTTS_ENGINE_FUSED_SLOTS",
+                                          "16"))
         self._fused = (use_fused_step(cfg) and mesh is None
-                       and ecfg.max_num_seqs <= 16)
+                       and ecfg.max_num_seqs <= fused_slots)
         from .generate import kv_int8
 
         self._kv8 = self._fused and kv_int8(cfg)

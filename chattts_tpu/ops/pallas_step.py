@@ -573,7 +573,10 @@ def decode_step_fused(
     import os
 
     mb = int(os.environ.get("CHATTTS_STEP_VMEM_MB", "6"))
-    budget = (mb << 20) if B <= 16 else (2 << 20)
+    # wide batch keeps a smaller default (6 MB of bf16 chunks OOMs at
+    # B=32; int8-kv chunks halve the bytes, so A/Bs may raise this)
+    mb_wide = int(os.environ.get("CHATTTS_STEP_VMEM_MB_WIDE", "2"))
+    budget = (mb << 20) if B <= 16 else (mb_wide << 20)
     kv_pos_bytes = KW if kv8 else HD * 2  # bytes per (row, position)
     budget_rows = max(8, budget // (2 * KRING * B * kv_pos_bytes))
     # largest multiple of 8 that divides T and fits the requested chunk

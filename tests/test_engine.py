@@ -367,6 +367,7 @@ def test_engine_with_fused_step_kernel(monkeypatch):
     from chattts_tpu.models import llama
 
     monkeypatch.setenv("CHATTTS_PALLAS_STEP", "1")
+    monkeypatch.setenv("CHATTTS_KV_INT8", "0")  # pin the bf16-cache path
     bat._build_kernels.cache_clear()
     try:
         cfg = GPTConfig(hidden_size=128, intermediate_size=256,

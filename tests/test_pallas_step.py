@@ -166,8 +166,10 @@ def test_fused_step_int8_close_to_xla():
 
 def test_generator_with_fused_step(monkeypatch):
     """The whole Generator loop runs with CHATTTS_PALLAS_STEP=1 (interpret
-    mode on CPU) and stays seed-deterministic."""
+    mode on CPU) and stays seed-deterministic.  KV_INT8=0 pins the bf16
+    cache path (kv8 defaults on; test_generator_with_kv8 covers it)."""
     monkeypatch.setenv("CHATTTS_PALLAS_STEP", "1")
+    monkeypatch.setenv("CHATTTS_KV_INT8", "0")
     from chattts_tpu.engine import generate as gen_mod
     gen_mod._build_fns.cache_clear()
     try:

@@ -257,8 +257,117 @@ def kv8_kl():
           f"(max {np.max(kls):.4f}), top-1 agreement {np.mean(top1):.3f}")
 
 
+def gen_kv8():
+    """Generator-path (headline bench shape, 8x384 pipelined non-streaming)
+    same-process A/B of the int8 KV cache, alone and composed with the
+    int8 weight slabs.  kv_int8 is read per _run_once call (an explicit
+    _build_fns cache key), so flipping the env between calls A/Bs cleanly;
+    the weight-slab tier needs a fresh load per setting."""
+    import os
+
+    from chattts_tpu.core import Chat
+
+    chat = _load(use_engine=False)
+    texts = ["This is a benchmark sentence for the speech system."] * 8
+    params = Chat.InferCodeParams(
+        max_new_token=384, min_new_token=384, manual_seed=3, show_tqdm=False)
+
+    def run(kv8):
+        os.environ["CHATTTS_KV_INT8"] = "1" if kv8 else "0"
+        t0 = time.perf_counter()
+        wavs = chat._generate_wavs(texts, True, params)
+        return time.perf_counter() - t0, wavs.shape
+
+    for tier in ("bf16", "int8"):
+        if tier == "int8":
+            os.environ["CHATTTS_STEP_INT8"] = "1"
+            chat.unload()
+            chat = _load(use_engine=False)
+        for kv8 in (False, True):
+            run(kv8)  # warmup/compile
+        best = {False: [], True: []}
+        for i in range(3):
+            for kv8 in (False, True):
+                w, shape = run(kv8)
+                best[kv8].append(w)
+                audio = shape[0] * shape[1] / 24000
+                print(f"w={tier} kv8={int(kv8)} run {i}: wall={w:.3f}s "
+                      f"rtf={audio / w:.1f}")
+        print(f"BEST w={tier}: kv8=0 {min(best[False]):.3f}s | "
+              f"kv8=1 {min(best[True]):.3f}s")
+    os.environ.pop("CHATTTS_STEP_INT8", None)
+    os.environ.pop("CHATTTS_KV_INT8", None)
+
+
+def wide_engine():
+    """Saturated-throughput probe at 32 slots: can the int8 KV cache (halved
+    VMEM per position -> TC 48 at a 6 MB budget instead of bf16's OOM)
+    revive the fused megakernel above 16 slots?  Compares 16-slot fused
+    kv8 (today's best), 32-slot fused kv8, and 32-slot XLA bf16 (today's
+    wide default) on 384-step saturated offline batches."""
+    import os
+
+    from chattts_tpu.core import Chat
+    from chattts_tpu.engine.batching import Engine, EngineConfig
+
+    os.environ["CHATTTS_STEP_VMEM_MB"] = "6"
+    # 32-slot fused needs every VMEM saving at once: int8-kv chunks, small
+    # TC, AND int8 weight slabs (bf16's 4.7 MB ring + 6 MB chunks measured
+    # scoped-OOM by 2.39 MB; WIDE=4 still scoped-OOMed by 1.5 MB)
+    os.environ["CHATTTS_STEP_VMEM_MB_WIDE"] = os.environ.get(
+        "WIDE_PROBE_MB", "3")
+    chat = _load()
+    geo16 = chat._code_engine_geometry("capacity")
+
+    def mk(slots, kv8, fused_slots, w_int8=False):
+        os.environ["CHATTTS_KV_INT8"] = "1" if kv8 else "0"
+        os.environ["CHATTTS_STEP_INT8"] = "1" if w_int8 else "0"
+        os.environ["CHATTTS_ENGINE_FUSED_SLOTS"] = str(fused_slots)
+        import dataclasses
+
+        geo = dataclasses.replace(geo16, max_num_seqs=slots)
+        return Engine(chat.config.gpt, geo, chat.gpt_params,
+                      chat.embed_params,
+                      spk_emb_ids=chat.tokenizer.spk_emb_ids,
+                      packed=chat._step_slabs())
+
+    engines = {
+        "16 fused kv8": mk(16, True, 16),
+        "32 fused kv8+w8": mk(32, True, 32, w_int8=True),
+        "32 xla bf16": mk(32, False, 16),
+    }
+    for name, eng in engines.items():
+        print(name, "fused=", eng._fused, "kv8=", eng._kv8)
+
+    def run(eng, n):
+        params = Chat.InferCodeParams(
+            max_new_token=384, min_new_token=384, manual_seed=5,
+            show_tqdm=False)
+        texts = ["Wide engine probe sentence %d." % i for i in range(n)]
+        reqs = chat._code_requests(texts, params)
+        for i, r in enumerate(reqs):
+            r.request_id = f"we-{time.monotonic_ns()}-{i}"
+        t0 = time.perf_counter()
+        outs = eng.generate(reqs)
+        wall = time.perf_counter() - t0
+        return sum(o.metrics["gen_tokens"] for o in outs) / wall
+
+    for name, eng in engines.items():
+        run(eng, eng.ecfg.max_num_seqs)  # warmup/compile
+    for i in range(3):
+        for name, eng in engines.items():
+            tps = run(eng, eng.ecfg.max_num_seqs)
+            print(f"run {i} {name}: {tps:.0f} steps/s "
+                  f"({tps * 4:.0f} speech tokens/s)")
+    for v in ("CHATTTS_STEP_VMEM_MB", "CHATTTS_STEP_VMEM_MB_WIDE",
+              "CHATTTS_KV_INT8", "CHATTTS_STEP_INT8",
+              "CHATTTS_ENGINE_FUSED_SLOTS"):
+        os.environ.pop(v, None)
+
+
 if __name__ == "__main__":
     probe = sys.argv[1] if len(sys.argv) > 1 else "tier_ab"
     {"tier_ab": tier_ab, "longform": longform,
      "service_ab": service_ab, "longform_kv8": longform_kv8,
-     "kv8_kl": kv8_kl}[probe]()
+     "kv8_kl": kv8_kl, "gen_kv8": gen_kv8,
+     "wide_engine": wide_engine}[probe]()
