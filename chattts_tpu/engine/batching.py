@@ -311,7 +311,7 @@ def _host_slot_key(seed: int, attempt: int) -> np.ndarray:
 
 
 def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int,
-                fused: bool = False, kv8: bool = False) -> SlotState:
+                fused: bool = False, kvb: int = 0) -> SlotState:
     S, Tc = ecfg.max_num_seqs, ecfg.cache_len
     D = cfg.hidden_size
     HD = cfg.num_attention_heads * cfg.head_dim
@@ -319,14 +319,16 @@ def _init_state(cfg: GPTConfig, ecfg: EngineConfig, seed: int,
     hshape = (S, ecfg.max_new_tokens, D) if ecfg.collect_hidden else (S, 1, 1)
     if fused:
         # flat stacked layout for the whole-step megakernel's manual DMA;
-        # kv8 = int8 rows + embedded scales (ops/pallas_step.kv8_quantize),
-        # cache length padded to the 32-row int8 append-window alignment
-        if kv8:
+        # kvb = quantized rows + embedded scales (ops/pallas_step
+        # kv8_/kv4_quantize), cache length padded to the 32-row int8
+        # append-window alignment
+        if kvb:
             from ..ops.pallas_step import KV_PAD
 
+            QW = HD // 2 if kvb == 4 else HD
             Tc8 = ((Tc + 31) // 32) * 32
-            cache = (jnp.zeros((L, S, Tc8, HD + KV_PAD), jnp.int8),
-                     jnp.zeros((L, S, Tc8, HD + KV_PAD), jnp.int8))
+            cache = (jnp.zeros((L, S, Tc8, QW + KV_PAD), jnp.int8),
+                     jnp.zeros((L, S, Tc8, QW + KV_PAD), jnp.int8))
         else:
             cache = (jnp.zeros((L, S, Tc, HD), jnp.bfloat16),
                      jnp.zeros((L, S, Tc, HD), jnp.bfloat16))
@@ -394,7 +396,7 @@ def _state_specs(cfg: GPTConfig, ecfg: EngineConfig):
 
 @functools.lru_cache(maxsize=8)
 def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False,
-                   kv8: bool = False):
+                   kvb: int = 0):
     S, Tp, Tc = ecfg.max_num_seqs, ecfg.max_prompt_len, ecfg.cache_len
     num_vq = cfg.num_vq
     HD = cfg.num_attention_heads * cfg.head_dim
@@ -465,13 +467,14 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False,
                 # scatter value is (L, W, Tpb, HD)
                 mk = jnp.stack(mini_cache.k, axis=0).reshape(L, W, Tpb, HD)
                 mv = jnp.stack(mini_cache.v, axis=0).reshape(L, W, Tpb, HD)
-                if kv8:
+                if kvb:
                     # quantize at the prefill -> decode boundary; appended
                     # rows use the same scheme in-kernel
-                    from ..ops.pallas_step import kv8_quantize
+                    from ..ops.pallas_step import kv4_quantize, kv8_quantize
 
-                    mk = kv8_quantize(mk, cfg)
-                    mv = kv8_quantize(mv, cfg)
+                    quant = kv4_quantize if kvb == 4 else kv8_quantize
+                    mk = quant(mk, cfg)
+                    mv = quant(mv, cfg)
                 kc = kc.at[:, slots, off:off + Tpb].set(mk)
                 vc = vc.at[:, slots, off:off + Tpb].set(mv)
                 cache = (kc, vc)
@@ -714,22 +717,25 @@ class Engine:
         from .generate import use_fused_step
 
         # the whole-step megakernel serves the single-chip engine; the
-        # sharded (mesh) engine keeps the XLA step, which pjit partitions.
-        # Above 16 slots the kernel's VMEM budget forces tiny kv chunks
-        # (see ops/pallas_step TC cap) and the XLA step wins - measured
-        # S=32: fused 10.3k tokens/s vs better XLA behavior at wide batch.
-        # CHATTTS_ENGINE_FUSED_SLOTS raises the gate for A/Bs (int8-kv
-        # chunks halve the VMEM cost per position, which may revive wide
-        # fused engines - probe before trusting).
+        # sharded (mesh) engine keeps the XLA step, which pjit partitions
+        # (per-chip slot counts stay small under dp).  The gate default is
+        # 32 since round 4: wide batches raise the kernel's scoped-VMEM
+        # limit (ops/pallas_step CompilerParams) and the int8-kv chunks
+        # halve the per-position VMEM cost - measured 32 x 384 fused
+        # kv8+w8 11.6k steps/s (46.5k speech tokens/s), vs 10.7k at 16
+        # slots.  The 32-slot XLA alternative cannot exist on one chip:
+        # its (S, T, H, Dh) cache lane-pads Dh 64 -> 128 (2.7x = 12.8 GB
+        # at 32 x 2560, XLA HBM-OOM report in PERF.md round 4).
         import os as _os
 
         fused_slots = int(_os.environ.get("CHATTTS_ENGINE_FUSED_SLOTS",
-                                          "16"))
+                                          "32"))
         self._fused = (use_fused_step(cfg) and mesh is None
                        and ecfg.max_num_seqs <= fused_slots)
-        from .generate import kv_int8
+        from .generate import kv_quant_bits
 
-        self._kv8 = self._fused and kv_int8(cfg)
+        self._kvb = kv_quant_bits(cfg) if self._fused else 0
+        self._kv8 = self._kvb == 8  # kept for probes/back-compat asserts
         self._packed = {}
         if self._fused:
             if packed is not None:
@@ -744,7 +750,7 @@ class Engine:
                                                 int8=step_int8(),
                                                 int4=step_int4())
         self.state = _init_state(cfg, ecfg, seed, fused=self._fused,
-                                 kv8=self._kv8)
+                                 kvb=self._kvb)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -766,7 +772,7 @@ class Engine:
         self.spk_emb_ids = spk_emb_ids
         self._prefill, self._chunk = _build_kernels(cfg, ecfg,
                                                      fused=self._fused,
-                                                     kv8=self._kv8)
+                                                     kvb=self._kvb)
         self._wave_sizes = sorted({w for _, w in self._prefill})
         self.waiting: collections.deque[EngineRequest] = collections.deque()
         self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs

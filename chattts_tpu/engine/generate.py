@@ -189,15 +189,40 @@ def kv_int8(cfg: GPTConfig) -> bool:
             and use_fused_step(cfg))
 
 
+def kv_int4(cfg: GPTConfig) -> bool:
+    """Opt-in int4 KV cache (CHATTTS_KV_INT4=1), fused-step path only.
+
+    Nibble-packed rows with the same per-(token, head) (mantissa, exponent)
+    scales (ops/pallas_step.kv4_quantize): the KV stream drops to ~33% of
+    bf16 (vs kv8's 58%) - the aggressive long-context tier.  Teacher-forced
+    KL ~0.01 nats / top-1 ~83% (PERF.md round 4) - the same quality class
+    as the opt-in int8 WEIGHT slabs (0.012 nats), an order noisier than
+    kv8's 0.0001, so it stays opt-in; anchor on real trained weights
+    before shipping it by default.  Wins over kv8 when both are set.
+    Requires HD % 256 == 0 (nibble halves split into whole 128-lane
+    tiles); other geometries fall back to the kv8/bf16 tier."""
+    HD = cfg.num_attention_heads * cfg.head_dim
+    return (os.environ.get("CHATTTS_KV_INT4", "0") == "1"
+            and use_fused_step(cfg) and HD % 256 == 0)
+
+
+def kv_quant_bits(cfg: GPTConfig) -> int:
+    """The KV cache tier as a width: 4 (opt-in), 8 (default), 0 (bf16)."""
+    if kv_int4(cfg):
+        return 4
+    return 8 if kv_int8(cfg) else 0
+
+
 @functools.lru_cache(maxsize=32)
 def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
-               apply_spk: bool, kv8: bool = False):
+               apply_spk: bool, kvb: int = 0):
     """Compile-cached (prefill_fn, chunk_fn) for one shape bucket.
 
-    ``kv8`` is an explicit cache key (callers pass ``kv_int8(cfg)``): the
-    flag changes the traced cache dtype/width, so reading the env inside
-    would hand a stale cached fn to a process that flips the env between
-    loads (the same trap the packed-slab dtype avoids by being an arg)."""
+    ``kvb`` is the KV quantization width (0 bf16 / 8 / 4) and an explicit
+    cache key (callers pass ``kv_quant_bits(cfg)``): the tier changes the
+    traced cache dtype/width, so reading the env inside would hand a stale
+    cached fn to a process that flips the env between loads (the same trap
+    the packed-slab dtype avoids by being an arg)."""
     num_vq = cfg.num_vq
     # cache/buffer lengths stay multiples of 8 (Pallas DMA sublane alignment;
     # T0 is already bucketed).  Generation still stops at the caller's
@@ -206,7 +231,7 @@ def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
     Tbuf = T0 + max_new
     # int8-kv append windows are 32-row (int8 tile sublane): pad the CACHE
     # length only; ids/key_valid/hiddens stay at Tbuf/max_new
-    Tcache = _round_up(Tbuf, 32) if kv8 else Tbuf
+    Tcache = _round_up(Tbuf, 32) if kvb else Tbuf
     eos_token = (cfg.num_audio_tokens - 1) if not infer_text else None
     max_penalized = (cfg.num_audio_tokens - 1) if not infer_text else cfg.num_text_tokens
     fused = use_fused_step(cfg)
@@ -228,12 +253,12 @@ def _build_fns(cfg: GPTConfig, infer_text: bool, B: int, T0: int, max_new: int,
             # flat stacked layout for the megakernel's manual DMA
             cache = (jnp.stack([c.reshape(B, Tbuf, HD) for c in cache.k]),
                      jnp.stack([c.reshape(B, Tbuf, HD) for c in cache.v]))
-            if kv8:
-                from ..ops.pallas_step import kv8_quantize
+            if kvb:
+                from ..ops.pallas_step import kv4_quantize, kv8_quantize
 
+                quant = kv4_quantize if kvb == 4 else kv8_quantize
                 pad = ((0, 0), (0, 0), (0, Tcache - Tbuf), (0, 0))
-                cache = tuple(kv8_quantize(jnp.pad(c, pad), cfg)
-                              for c in cache)
+                cache = tuple(quant(jnp.pad(c, pad), cfg) for c in cache)
         return GenState(
             cache=cache,
             ids=jnp.pad(ids0, ((0, 0), (0, max_new), (0, 0))),
@@ -462,7 +487,7 @@ class Generator:
         apply_spk = req.spk_vec is not None
         prefill_jit, chunk_jit = _build_fns(
             self.cfg, req.infer_text, B, T0, req.max_new, apply_spk,
-            kv_int8(self.cfg))
+            kv_quant_bits(self.cfg))
 
         spk_vec = (jnp.asarray(req.spk_vec, jnp.float32) if apply_spk
                    else jnp.zeros((self.cfg.hidden_size,), jnp.float32))

@@ -125,6 +125,61 @@ def kv8_dequantize(rows: jnp.ndarray, cfg) -> jnp.ndarray:
     return (q * (m * jnp.exp2(es))[..., None]).reshape(lead + (HD,))
 
 
+def kv4_quantize(flat: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Quantize (..., T, HD) k/v rows to the int4-kv wire layout.
+
+    Same per-(token, head) (mantissa, exponent) scale scheme as
+    :func:`kv8_quantize` but values quantize to [-7, 7] and two features
+    pack per byte: feature ``f`` (f < HD/2) rides byte ``f``'s LOW nibble
+    and feature ``HD/2 + f`` its HIGH nibble, so unpack-and-concat
+    reconstructs the original feature order.  Row layout (lane axis):
+    ``[packed(HD/2) | m(H) | e(H) | zeros]`` padded to ``HD/2 + KV_PAD``
+    lanes.  Net row bytes vs bf16: (HD/2 + 128) / (2 * HD) = 33% at HD=768
+    (vs kv8's 58%) - the aggressive long-context tier, opt-in like the
+    int4 weight slabs (teacher-forced KL ~0.01 nats, PERF.md round 4)."""
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    HD = H * Dh
+    if 2 * H > KV_PAD:
+        raise ValueError("too many heads for the kv-int4 scale lanes")
+    if Dh % 2 or (HD // 2) % 128:
+        raise ValueError("geometry not kv-int4-packable")
+    x = flat.astype(jnp.float32)
+    lead = x.shape[:-1]
+    xh = x.reshape(lead + (H, Dh))
+    a = jnp.max(jnp.abs(xh), axis=-1)          # (..., H) per-head absmax
+    sc = a / 7.0
+    e = jnp.floor(jnp.log2(jnp.maximum(sc, 1e-30)))
+    m = jnp.ceil(sc * jnp.exp2(-e) * 64.0)     # in [64, 128]
+    e = jnp.where(m > 127.0, e + 1.0, e)
+    m = jnp.where(m > 127.0, 64.0, m)
+    m = jnp.where(a > 0.0, m, 0.0)
+    es = jnp.clip(e - 6.0, -126.0, 126.0)
+    sdec = m * jnp.exp2(es)                    # decoded scale >= sc
+    q = jnp.clip(jnp.round(xh / jnp.maximum(sdec, 1e-30)[..., None]),
+                 -7.0, 7.0).astype(jnp.int32).reshape(lead + (HD,))
+    qlo, qhi = q[..., :HD // 2], q[..., HD // 2:]
+    u = (qlo & 15) | ((qhi & 15) << 4)         # [0, 255]
+    packed = ((u << 24) >> 24).astype(jnp.int8)  # sign-extend low byte
+    pad = jnp.zeros(lead + (KV_PAD - 2 * H,), jnp.int8)
+    return jnp.concatenate(
+        [packed, m.astype(jnp.int8), es.astype(jnp.int8), pad], axis=-1)
+
+
+def kv4_dequantize(rows: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Inverse of :func:`kv4_quantize`: (..., T, HD/2 + KV_PAD) int8 -> f32."""
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    HD = H * Dh
+    HD2 = HD // 2
+    lead = rows.shape[:-1]
+    qp = rows[..., :HD2].astype(jnp.int32)
+    lo4 = ((qp << 28) >> 28).astype(jnp.float32)
+    hi4 = (qp >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo4, hi4], axis=-1).reshape(lead + (H, Dh))
+    m = rows[..., HD2:HD2 + H].astype(jnp.float32)
+    es = rows[..., HD2 + H:HD2 + 2 * H].astype(jnp.float32)
+    return (q * (m * jnp.exp2(es))[..., None]).reshape(lead + (HD,))
+
+
 def pack_step_params(params: dict, cfg, int8: bool = False,
                      int4: bool = False) -> dict:
     """Pre-pack layer weights into the kernel's slab layout.
@@ -217,10 +272,13 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
             wsem, ksem, vsem, rsem, *,
             B: int, D: int, HD: int, H: int, I: int, T: int, TC: int,
             S: int, L: int, eps: float, scale: float, per_slot: bool,
-            int8: bool, int4: bool, WRING: int, BS: int, kv8: bool):
+            int8: bool, int4: bool, WRING: int, BS: int, kv8: bool,
+            kv4: bool = False):
     l = pl.program_id(0)
     r = I // D
-    RW = 32 if kv8 else 8  # append-window rows (int8 tiles are 32-sublane)
+    kvq = kv8 or kv4    # int8-dtype cache with embedded per-head scales
+    QW = HD // 2 if kv4 else HD  # quantized-value lanes before the scales
+    RW = 32 if kvq else 8  # append-window rows (int8 tiles are 32-sublane)
     NBL = S // BS       # weight bundles per layer: BS consecutive slabs
     #                     ride ONE async copy (BS=1 == one DMA per slab,
     #                     the measured-best default; see wrapper comment)
@@ -345,17 +403,20 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
     eh = (head_of == colh)
     ehf = eh.astype(jnp.float32)
 
-    if kv8:
+    if kvq:
         Dh = HD // H
+        maxq = 7.0 if kv4 else 127.0
 
         def _q_row(xrow):
-            """(B, HD) f32 -> (B, HD + KV_PAD) int8 row — kv8_quantize's
-            scheme in-kernel (per-head absmax -> (m, e) scale pair), so
-            appended rows and prefill-quantized rows dequantize alike."""
+            """(B, HD) f32 -> (B, QW + KV_PAD) int8 row — kv8_quantize's /
+            kv4_quantize's scheme in-kernel (per-head absmax -> (m, e)
+            scale pair; kv4 additionally nibble-packs feature f with
+            feature HD/2 + f), so appended rows and prefill-quantized rows
+            dequantize alike."""
             parts = [jnp.max(jnp.abs(xrow[:, hh * Dh:(hh + 1) * Dh]), axis=1)
                      for hh in range(H)]
             a = jnp.stack(parts, axis=1)             # (B, H)
-            sc = a / 127.0
+            sc = a / maxq
             e = jnp.floor(jnp.log2(jnp.maximum(sc, 1e-30)))
             mant = jnp.ceil(sc * jnp.exp2(-e) * 64.0)
             e = jnp.where(mant > 127.0, e + 1.0, e)
@@ -365,8 +426,14 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
             sdec = mant * jnp.exp2(es)               # (B, H)
             sexp = lax.dot_general(sdec, ehf, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-            qr = jnp.clip(jnp.round(xrow / jnp.maximum(sexp, 1e-30)),
-                          -127.0, 127.0).astype(jnp.int8)
+            qf = jnp.clip(jnp.round(xrow / jnp.maximum(sexp, 1e-30)),
+                          -maxq, maxq)
+            if kv4:
+                qi = qf.astype(jnp.int32)
+                u = ((qi[:, :QW] & 15) | ((qi[:, QW:] & 15) << 4))
+                qr = ((u << 24) >> 24).astype(jnp.int8)
+            else:
+                qr = qf.astype(jnp.int8)
             return jnp.concatenate(
                 [qr, mant.astype(jnp.int8), es.astype(jnp.int8),
                  jnp.zeros((B, KV_PAD - 2 * H), jnp.int8)], axis=1)
@@ -454,27 +521,41 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
                               kbuf.at[slot], ksem.at[slot]).wait()
         pltpu.make_async_copy(vc_out.at[l, :, pl.ds(c * TC, TC)],
                               vbuf.at[slot], vsem.at[slot]).wait()
-        kc = kbuf[slot]  # (B, TC, HD) bf16 | (B, TC, HD + KV_PAD) int8
+        kc = kbuf[slot]  # (B, TC, HD) bf16 | (B, TC, QW + KV_PAD) int8
         vc = vbuf[slot]
-        if kv8:
+        if kvq:
             # embedded per-(token, head) scales: fold k's into the scores
             # AFTER the matmul and v's into p BEFORE the accumulation -
             # exact dequantization at (TC, H) cost instead of (TC, HD)
-            ksc = (kc[:, :, HD:HD + H].astype(jnp.float32)
-                   * jnp.exp2(kc[:, :, HD + H:HD + 2 * H].astype(
+            ksc = (kc[:, :, QW:QW + H].astype(jnp.float32)
+                   * jnp.exp2(kc[:, :, QW + H:QW + 2 * H].astype(
                        jnp.float32)))
-            vsc = (vc[:, :, HD:HD + H].astype(jnp.float32)
-                   * jnp.exp2(vc[:, :, HD + H:HD + 2 * H].astype(
+            vsc = (vc[:, :, QW:QW + H].astype(jnp.float32)
+                   * jnp.exp2(vc[:, :, QW + H:QW + 2 * H].astype(
                        jnp.float32)))
+
+        def unq(xc, b, dt):
+            """Quantized chunk rows -> (TC, HD) values in feature order
+            (kv4 nibble-unpack via int32 shifts, same idiom as the int4
+            weight slabs; scale folding stays at (TC, H) cost outside)."""
+            if not kvq:
+                return xc[b].astype(dt)
+            if not kv4:
+                return xc[b, :, :HD].astype(dt)
+            qp = xc[b, :, :QW].astype(jnp.int32)
+            lo4 = ((qp << 28) >> 28).astype(dt)  # features [0, HD/2)
+            hi4 = (qp >> 4).astype(dt)           # features [HD/2, HD)
+            return jnp.concatenate([lo4, hi4], axis=1)
+
         t_ids = c * TC + lax.broadcasted_iota(jnp.int32, (1, TC, 1), 1)
         rows = []
         for b in range(B):
-            kb = kc[b, :, :HD].astype(jnp.bfloat16) if kv8 else kc[b]
+            kb = unq(kc, b, jnp.bfloat16)
             s_b = lax.dot_general(kb, qms[b], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
             rows.append(s_b)  # (TC, H)
         s = jnp.stack(rows)  # (B, TC, H)
-        if kv8:
+        if kvq:
             s = s * ksc
         vis = (t_ids >= lo[:, :, None]) & (t_ids <= curv[:, :, None])
         s = jnp.where(vis, s, NEG)
@@ -485,13 +566,12 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
         # o(b, hD) += sum_t p(b,t,h(D)) v(b,t,hD)
         pv_rows = []
         for b in range(B):
-            pb = (p[b] * vsc[b]) if kv8 else p[b]
+            pb = (p[b] * vsc[b]) if kvq else p[b]
             p_exp = lax.dot_general(pb.astype(jnp.bfloat16),
                                     eh.astype(jnp.bfloat16),
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            vb = (vc[b, :, :HD].astype(jnp.float32) if kv8
-                  else vc[b].astype(jnp.float32))
+            vb = unq(vc, b, jnp.float32)
             pv_rows.append(jnp.sum(p_exp * vb, axis=0))
         pv = jnp.stack(pv_rows)  # (B, HD)
         corr_exp = lax.dot_general(corr, ehf, (((1,), (1,)), ((), ())),
@@ -555,14 +635,16 @@ def decode_step_fused(
     B, T = k_cache.shape[1], k_cache.shape[2]
     r = I // D
     S = 4 + 3 * r
-    kv8 = k_cache.dtype == jnp.int8  # kv8_quantize row layout
-    KW = HD + KV_PAD if kv8 else HD
-    if kv8 and (k_cache.shape[3] != KW or 2 * H > KV_PAD):
-        raise ValueError("cache width does not match the kv-int8 layout")
-    if T % (32 if kv8 else 8):
+    kvq = k_cache.dtype == jnp.int8  # kv8_/kv4_quantize row layout
+    kv4 = kvq and k_cache.shape[3] == HD // 2 + KV_PAD  # nibble-packed
+    kv8 = kvq and not kv4
+    KW = (HD // 2 if kv4 else HD) + KV_PAD if kvq else HD
+    if kvq and (k_cache.shape[3] != KW or 2 * H > KV_PAD):
+        raise ValueError("cache width does not match the kv-int8/int4 layout")
+    if T % (32 if kvq else 8):
         # int8 tiles are 32-sublane: the append RMW windows are 32-row
         raise ValueError("cache length must be a multiple of %d"
-                         % (32 if kv8 else 8))
+                         % (32 if kvq else 8))
     # kv chunk buffers are (KRING, B, TC, HD) x2: cap TC so they stay inside
     # scoped VMEM at any batch size.  Other scratch (gate/up, append windows,
     # per-row selectors) also grows with B, so the kv budget shrinks for
@@ -573,11 +655,11 @@ def decode_step_fused(
     import os
 
     mb = int(os.environ.get("CHATTTS_STEP_VMEM_MB", "6"))
-    # wide batch keeps a smaller default (6 MB of bf16 chunks OOMs at
-    # B=32; int8-kv chunks halve the bytes, so A/Bs may raise this)
-    mb_wide = int(os.environ.get("CHATTTS_STEP_VMEM_MB_WIDE", "2"))
+    # wide batch keeps a smaller chunk budget under the raised scoped-VMEM
+    # limit below (B=32 kv8 measured at 4 MB -> TC=32: 11.6k steps/s)
+    mb_wide = int(os.environ.get("CHATTTS_STEP_VMEM_MB_WIDE", "4"))
     budget = (mb << 20) if B <= 16 else (mb_wide << 20)
-    kv_pos_bytes = KW if kv8 else HD * 2  # bytes per (row, position)
+    kv_pos_bytes = KW if kvq else HD * 2  # bytes per (row, position)
     budget_rows = max(8, budget // (2 * KRING * B * kv_pos_bytes))
     # largest multiple of 8 that divides T and fits the requested chunk
     TC = min(t_chunk, T, (budget_rows // 8) * 8)
@@ -629,7 +711,7 @@ def decode_step_fused(
         _kernel, B=B, D=D, HD=HD, H=H, I=I, T=T, TC=TC, S=S, L=L,
         eps=cfg.rms_norm_eps, scale=1.0 / float(np.sqrt(Dh)),
         per_slot=per_slot, int8=int8, int4=int4, WRING=wring, BS=BS,
-        kv8=kv8)
+        kv8=kv8, kv4=kv4)
     ws_spec = (pl.BlockSpec((None,) + wscale.shape[1:],
                             lambda l: (l, 0, 0, 0)) if int4 else
                pl.BlockSpec((None, S, D), lambda l: (l, 0, 0)))
@@ -670,8 +752,8 @@ def decode_step_fused(
             pltpu.VMEM((KRING, B, TC, KW), k_cache.dtype),
             pltpu.VMEM((KRING, B, TC, KW), v_cache.dtype),
             # append RMW windows (int8 tiles are 32-sublane -> 32 rows)
-            pltpu.VMEM((B, 32 if kv8 else 8, KW), k_cache.dtype),
-            pltpu.VMEM((B, 32 if kv8 else 8, KW), v_cache.dtype),
+            pltpu.VMEM((B, 32 if kvq else 8, KW), k_cache.dtype),
+            pltpu.VMEM((B, 32 if kvq else 8, KW), v_cache.dtype),
             pltpu.VMEM((B, D), jnp.float32),              # hidden carry
             pltpu.VMEM((B, I), jnp.float32),              # gate
             pltpu.VMEM((B, I), jnp.float32),              # up
@@ -681,7 +763,14 @@ def decode_step_fused(
             pltpu.SemaphoreType.DMA((2, B)),
         ],
         input_output_aliases={11: 1, 12: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # B <= 16 keeps Mosaic's default 16 MB scoped-VMEM limit (the
+        # measured speed-of-light config); wide batches raise it - the
+        # chip has 128 MB of VMEM and the B=32 scratch alone (append
+        # windows, gate/up, f32 carries) overflows 16 MB even at TC=16.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=(None if B <= 16 else int(os.environ.get(
+                "CHATTTS_STEP_VMEM_LIMIT_MB", "32")) << 20)),
         interpret=interpret,
     )(cur_smem, cur_rows.reshape(B, 1), lo.reshape(B, 1).astype(jnp.int32),
       cosf, sinf,

@@ -452,3 +452,205 @@ def test_engine_with_kv8(monkeypatch):
         assert 3 <= a.ids.shape[0] <= 6
         assert (a.ids < CFG.num_audio_tokens - 1).all()
         assert a.finish_reason in ("eos", "length")
+
+
+# ---- int4 KV cache (CHATTTS_KV_INT4, opt-in) -------------------------------
+# kv4 needs HD % 256 == 0 (nibble halves split into whole 128-lane tiles);
+# the shared CFG has HD=128, so these tests run their own geometry.
+
+CFG4 = GPTConfig(
+    hidden_size=256,
+    intermediate_size=512,
+    num_attention_heads=2,
+    num_hidden_layers=2,
+    max_position_embeddings=128,
+    num_audio_tokens=626,
+    num_text_tokens=300,
+    num_vq=4,
+)
+
+
+def _setup4(cur=11, lo_vals=(0, 3)):
+    params = llama.init_params(jax.random.PRNGKey(0), CFG4)
+    packed = pallas_step.pack_step_params(params, CFG4)
+    k0 = jax.random.normal(jax.random.PRNGKey(1),
+                           (B, T, CFG4.num_attention_heads, CFG4.head_dim),
+                           jnp.bfloat16)
+    v0 = jax.random.normal(jax.random.PRNGKey(2),
+                           (B, T, CFG4.num_attention_heads, CFG4.head_dim),
+                           jnp.bfloat16)
+    cache = llama.KVCache(
+        tuple(k0 for _ in range(CFG4.num_hidden_layers)),
+        tuple(v0 for _ in range(CFG4.num_hidden_layers)))
+    emb = jax.random.normal(jax.random.PRNGKey(3), (B, CFG4.hidden_size),
+                            jnp.float32) * 0.3
+    lo = jnp.asarray(lo_vals, jnp.int32)
+    slots = np.arange(T)
+    kv = jnp.asarray((slots[None, :] >= np.asarray(lo_vals)[:, None])
+                     & (slots[None, :] <= cur))
+    pos = jnp.full((B,), cur, jnp.int32) - lo
+    HD = CFG4.num_attention_heads * CFG4.head_dim
+    kc = jnp.stack([c.reshape(B, T, HD) for c in cache.k])
+    vc = jnp.stack([c.reshape(B, T, HD) for c in cache.v])
+    return (params, packed, cache, emb, lo, kv, pos,
+            pallas_step.kv4_quantize(kc, CFG4),
+            pallas_step.kv4_quantize(vc, CFG4))
+
+
+def test_kv4_quantize_round_trip():
+    """Dequantized kv4 rows stay within half a quantization step (absmax/7
+    per (token, head), with the (m, e) pair's <=0.8% upward slack), and the
+    nibble packing reconstructs the original feature order."""
+    rng = np.random.default_rng(0)
+    H, Dh = CFG4.num_attention_heads, CFG4.head_dim
+    HD = H * Dh
+    x = (rng.standard_normal((3, 2, 16, HD)) * 2.5).astype(np.float32)
+    x[0, 0, 3] = 0.0
+    rows = pallas_step.kv4_quantize(jnp.asarray(x), CFG4)
+    assert rows.shape == (3, 2, 16, HD // 2 + pallas_step.KV_PAD)
+    assert rows.dtype == jnp.int8
+    deq = np.asarray(pallas_step.kv4_dequantize(rows, CFG4))
+    a = np.abs(x.reshape(3, 2, 16, H, Dh)).max(-1)
+    bound = (a / 7.0) * 1.02 * 0.5 + 1e-7
+    err = np.abs(deq - x).reshape(3, 2, 16, H, Dh).max(-1)
+    assert (err <= bound).all()
+    np.testing.assert_array_equal(deq[0, 0, 3], np.zeros(HD))
+    # feature order: perturb ONE feature, exactly one dequant lane moves
+    y = x.copy()
+    y[1, 1, 5, 7] += 1.0
+    deq_y = np.asarray(pallas_step.kv4_dequantize(
+        pallas_step.kv4_quantize(jnp.asarray(y), CFG4), CFG4))
+    changed = np.nonzero((deq_y != deq)[1, 1, 5])[0]
+    assert changed.size >= 1 and set(changed) <= set(range(Dh))  # head 0
+
+
+def test_fused_step_kv4_close_to_xla():
+    """int4-KV fused step tracks the XLA step (bf16 cache) within the
+    coarser int4 tolerance; the appended row dequantizes to the reference
+    k/v within one int4 quantization step; history rows are untouched."""
+    cur = 11
+    (params, packed, cache, emb, lo, kv, pos, kc4, vc4) = _setup4(cur=cur)
+    h_ref, cache_ref = llama.decode_step(
+        params, emb, cache, jnp.int32(cur), kv, pos, CFG4)
+    hist_k = np.asarray(kc4)
+    x_out, kc2, vc2 = pallas_step.decode_step_fused(
+        packed, emb, kc4, vc4, jnp.int32(cur), lo, pos, CFG4,
+        t_chunk=8, interpret=True)
+    h_fused = llama.rms_norm(x_out, params["norm"], CFG4.rms_norm_eps)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               atol=0.6, rtol=0.6)
+    HD = CFG4.num_attention_heads * CFG4.head_dim
+    for li in range(CFG4.num_hidden_layers):
+        got = np.asarray(pallas_step.kv4_dequantize(kc2[li, :, cur], CFG4))
+        ref = np.asarray(cache_ref.k[li][:, cur].reshape(B, HD), np.float32)
+        a = np.abs(ref).reshape(B, CFG4.num_attention_heads, -1).max(-1)
+        step = np.repeat(a / 7.0 * 1.02, CFG4.head_dim, axis=1)
+        assert (np.abs(got - ref) <= step * 0.5 + 0.08).all()
+        np.testing.assert_array_equal(np.asarray(kc2[li, :, :cur]),
+                                      hist_k[li, :, :cur])
+
+
+def test_fused_step_kv4_per_slot_cur_and_chunks():
+    """Per-slot cur works on the int4 cache, and chunk size never changes
+    the result (unpack + scale folding are exact w.r.t. the stored
+    nibbles)."""
+    (params, packed, cache, emb, lo, kv, pos, kc4, vc4) = _setup4()
+    cur = jnp.asarray([11, 17], jnp.int32)
+    pos_s = cur - lo
+    outs = []
+    for tc in (8, 16, 32):
+        x_out, _, _ = pallas_step.decode_step_fused(
+            packed, emb, kc4, vc4, cur, lo, pos_s, CFG4,
+            t_chunk=tc, interpret=True)
+        outs.append(np.asarray(x_out))
+    # online-softmax f32 accumulation order shifts with TC; the stored
+    # nibbles are identical (3e-3 vs kv8's 1e-3: coarser values, same class)
+    np.testing.assert_allclose(outs[0], outs[1], atol=3e-3)
+    np.testing.assert_allclose(outs[0], outs[2], atol=3e-3)
+    slots = np.arange(T)
+    kvm = jnp.asarray(
+        (slots[None, :] >= np.asarray([0, 3])[:, None])
+        & (slots[None, :] <= np.asarray(cur)[:, None]))
+    h_ref, _ = llama.decode_step(params, emb, cache, cur, kvm, pos_s, CFG4)
+    h_fused = llama.rms_norm(jnp.asarray(outs[0]), params["norm"],
+                             CFG4.rms_norm_eps)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               atol=0.6, rtol=0.6)
+
+
+def test_generator_with_kv4(monkeypatch):
+    """The whole Generator loop runs with CHATTTS_KV_INT4=1 (fused path in
+    interpret mode) and stays seed-deterministic."""
+    monkeypatch.setenv("CHATTTS_PALLAS_STEP", "1")
+    monkeypatch.setenv("CHATTTS_KV_INT4", "1")
+    from chattts_tpu.engine import generate as gen_mod
+    gen_mod._build_fns.cache_clear()
+    try:
+        from chattts_tpu.models import embed as embed_mod
+
+        assert gen_mod.kv_quant_bits(CFG4) == 4
+        assert gen_mod.kv_quant_bits(CFG) == 8  # HD=128 falls back to kv8
+        params = llama.init_params(jax.random.PRNGKey(0), CFG4)
+        eparams = embed_mod.init_params(jax.random.PRNGKey(1), CFG4)
+        g = gen_mod.Generator(CFG4, params, eparams, prefill_bucket=16)
+        rng = np.random.default_rng(0)
+        req = gen_mod.GenerateRequest(
+            ids=rng.integers(5, 50, (2, 9, CFG4.num_vq)).astype(np.int32),
+            attn_mask=np.ones((2, 9), bool), text_mask=np.ones((2, 9), bool),
+            infer_text=False, eos_token=CFG4.num_audio_tokens - 1,
+            temperature=np.full((CFG4.num_vq,), 0.7, np.float32),
+            max_new=8, min_new=4, seed=11, return_hidden=True)
+        out1 = next(g.generate(req))
+        out2 = next(g.generate(req))
+        for a, b in zip(out1.ids, out2.ids):
+            np.testing.assert_array_equal(a, b)
+        assert 4 <= out1.ids[0].shape[0] <= 8
+        assert (out1.ids[0] < CFG4.num_audio_tokens - 1).all()
+    finally:
+        gen_mod._build_fns.cache_clear()
+
+
+def test_engine_with_kv4(monkeypatch):
+    """The continuous-batching engine runs on the int4 KV cache (fused
+    interpret path): state cache is int8 at the nibble-packed width,
+    outputs are seed-deterministic and valid."""
+    monkeypatch.setenv("CHATTTS_PALLAS_STEP", "1")
+    monkeypatch.setenv("CHATTTS_KV_INT4", "1")
+    from chattts_tpu.engine import batching as bat
+    from chattts_tpu.engine.batching import (Engine, EngineConfig,
+                                             EngineRequest)
+    from chattts_tpu.models import embed as embed_mod
+
+    bat._build_kernels.cache_clear()
+    try:
+        params = llama.init_params(jax.random.PRNGKey(0), CFG4)
+        eparams = embed_mod.init_params(jax.random.PRNGKey(1), CFG4)
+        ecfg = EngineConfig(max_num_seqs=2, max_prompt_len=16,
+                            max_new_tokens=8, chunk_steps=4,
+                            infer_text=False, collect_hidden=True)
+
+        def run():
+            eng = Engine(CFG4, ecfg, params, eparams, seed=7)
+            assert eng._kvb == 4
+            kc, vc = eng.state.cache
+            HD = CFG4.num_attention_heads * CFG4.head_dim
+            assert kc.dtype == jnp.int8
+            assert kc.shape[3] == HD // 2 + pallas_step.KV_PAD
+            assert kc.shape[2] % 32 == 0
+            rng = np.random.default_rng(3)
+            reqs = [EngineRequest(
+                request_id=f"r{i}",
+                ids=rng.integers(5, 50, (6 + i, CFG4.num_vq)).astype(np.int32),
+                text_mask=np.ones((6 + i,), bool),
+                temperature=np.full((CFG4.num_vq,), 0.7, np.float32),
+                min_new=3, max_new=6, seed=100 + i) for i in range(3)]
+            return eng.generate(reqs)
+
+        outs1, outs2 = run(), run()
+        for a, b in zip(outs1, outs2):
+            np.testing.assert_array_equal(a.ids, b.ids)
+            assert 3 <= a.ids.shape[0] <= 6
+            assert (a.ids < CFG4.num_audio_tokens - 1).all()
+            assert a.finish_reason in ("eos", "length")
+    finally:
+        bat._build_kernels.cache_clear()

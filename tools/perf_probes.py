@@ -195,6 +195,51 @@ def longform_kv8():
                   f"chunk-step={wall / steps * 1e3:.3f} ms")
 
 
+def longform_kv4():
+    """Same-process A/B of the int4 vs int8 KV cache at the long-form
+    serving shape (16 x 2048) and the bench shape (16 x 384).  One engine
+    per tier from the same loaded weights (the env flags are read at
+    Engine construction), so chip weather hits both sides alike."""
+    import os
+
+    from chattts_tpu.core import Chat
+    from chattts_tpu.engine.batching import Engine
+
+    chat = _load()
+    texts = ["Long form serving sentence %d." % i for i in range(16)]
+    engines = {}
+    for kv4 in (False, True):
+        os.environ["CHATTTS_KV_INT4"] = "1" if kv4 else "0"
+        engines[kv4] = Engine(
+            chat.config.gpt, chat._code_engine_geometry("capacity"),
+            chat.gpt_params, chat.embed_params,
+            spk_emb_ids=chat.tokenizer.spk_emb_ids,
+            packed=chat._step_slabs())
+        assert engines[kv4]._kvb == (4 if kv4 else 8)
+    os.environ.pop("CHATTTS_KV_INT4", None)
+
+    def run(eng, steps):
+        params = Chat.InferCodeParams(
+            max_new_token=steps, min_new_token=steps, manual_seed=5,
+            show_tqdm=False)
+        reqs = chat._code_requests(texts, params)
+        for i, r in enumerate(reqs):
+            r.request_id = f"lf4-{steps}-{time.monotonic_ns()}-{i}"
+        t0 = time.perf_counter()
+        outs = eng.generate(reqs)
+        wall = time.perf_counter() - t0
+        return wall, sum(o.metrics["gen_tokens"] for o in outs)
+
+    for kv4 in (False, True):  # warmup/compile both
+        run(engines[kv4], 384)
+    for steps in (384, 2048, 384, 2048):
+        for kv4 in (False, True):
+            wall, total = run(engines[kv4], steps)
+            print(f"16x{steps} kv4={int(kv4)}: wall={wall:.2f}s "
+                  f"steps/s={total / wall:.0f} "
+                  f"chunk-step={wall / steps * 1e3:.3f} ms")
+
+
 def kv8_kl():
     """Teacher-forced logits divergence of the int8 KV cache vs bf16 at
     full geometry (the PERF.md quantization-tier methodology: identical
@@ -253,6 +298,89 @@ def kv8_kl():
         top1.append(float(jnp.mean(
             (jnp.argmax(pa, -1) == jnp.argmax(pb, -1)))))
     print(f"kv8 teacher-forced divergence over {steps} steps "
+          f"(B={B}, T0={T0}): mean KL {np.mean(kls):.4f} nats "
+          f"(max {np.max(kls):.4f}), top-1 agreement {np.mean(top1):.3f}")
+
+
+def kv4_kl():
+    """Feasibility: teacher-forced logits divergence of a HYPOTHETICAL int4
+    KV cache (per-(token,head) symmetric scales, values in [-7, 7]) vs the
+    bf16 cache, before building any kernel.  The bf16 fused kernel runs on
+    both caches; the kv4 cache's rows are round-tripped through
+    quant4/dequant at append time (and the prompt region up front), which
+    is bit-for-bit the numerics an in-kernel kv4 path would see.  Bytes:
+    (HD/2 + 128) / (2*HD) = 33% of bf16 (vs kv8's 58%) -> ~+10% at the
+    16x2048 long-form tier if quality holds."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from chattts_tpu.config import Config
+    from chattts_tpu.models import embed as embed_mod
+    from chattts_tpu.models import llama
+    from chattts_tpu.ops import pallas_step
+
+    cfg = Config().gpt
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+
+    def qdq4(rows):
+        """(..., HD) f32/bf16 -> int4 per-(token,head) round trip."""
+        x = rows.astype(jnp.float32)
+        xh = x.reshape(x.shape[:-1] + (H, Dh))
+        sc = jnp.max(jnp.abs(xh), axis=-1, keepdims=True) / 7.0
+        q = jnp.clip(jnp.round(xh / jnp.maximum(sc, 1e-30)), -7, 7)
+        return (q * sc).reshape(x.shape).astype(rows.dtype)
+
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    eparams = embed_mod.init_params(jax.random.PRNGKey(1), cfg)
+    packed = pallas_step.pack_step_params(params, cfg)
+    B, T0, steps = 8, 64, 64
+    HD = H * Dh
+    T = T0 + ((steps + 31) // 32) * 32
+    k0 = jax.random.normal(jax.random.PRNGKey(2), (cfg.num_hidden_layers,
+                                                   B, T, HD), jnp.bfloat16)
+    v0 = jax.random.normal(jax.random.PRNGKey(3), (cfg.num_hidden_layers,
+                                                   B, T, HD), jnp.bfloat16)
+    mask = (jnp.arange(T)[None, :] < T0).astype(jnp.bfloat16)[None, :, :, None]
+    k0, v0 = k0 * mask, v0 * mask
+    caches = {"bf16": (k0, v0), "kv4": (qdq4(k0), qdq4(v0))}
+    lo = jnp.zeros((B,), jnp.int32)
+
+    @jax.jit
+    def logits_of(x_out):
+        h = llama.rms_norm(x_out, params["norm"], cfg.rms_norm_eps)
+        lg = embed_mod.head_code(eparams, h)
+        return jax.nn.log_softmax(lg.astype(jnp.float32) / 0.7, axis=-1)
+
+    @jax.jit
+    def requant_row(kc, vc, cur):
+        row_k = lax.dynamic_slice_in_dim(kc, cur, 1, axis=2)
+        row_v = lax.dynamic_slice_in_dim(vc, cur, 1, axis=2)
+        kc = lax.dynamic_update_slice_in_dim(kc, qdq4(row_k), cur, axis=2)
+        vc = lax.dynamic_update_slice_in_dim(vc, qdq4(row_v), cur, axis=2)
+        return kc, vc
+
+    kls, top1 = [], []
+    embs = jax.random.normal(jax.random.PRNGKey(42),
+                             (steps, B, cfg.hidden_size), jnp.float32) * 0.3
+    for s in range(steps):
+        cur = jnp.int32(T0 + s)
+        pos = jnp.full((B,), T0 + s, jnp.int32)
+        outs = {}
+        for name in ("bf16", "kv4"):
+            x, kc, vc = pallas_step.decode_step_fused(
+                packed, embs[s], caches[name][0], caches[name][1],
+                cur, lo, pos, cfg=cfg)
+            if name == "kv4":
+                kc, vc = requant_row(kc, vc, cur)
+            caches[name] = (kc, vc)
+            outs[name] = logits_of(x)
+        pa, pb = outs["bf16"], outs["kv4"]
+        kl = jnp.sum(jnp.exp(pa) * (pa - pb), axis=-1)
+        kls.append(float(jnp.mean(kl)))
+        top1.append(float(jnp.mean(
+            (jnp.argmax(pa, -1) == jnp.argmax(pb, -1)))))
+    print(f"kv4 teacher-forced divergence over {steps} steps "
           f"(B={B}, T0={T0}): mean KL {np.mean(kls):.4f} nats "
           f"(max {np.max(kls):.4f}), top-1 agreement {np.mean(top1):.3f}")
 
@@ -331,10 +459,16 @@ def wide_engine():
                       spk_emb_ids=chat.tokenizer.spk_emb_ids,
                       packed=chat._step_slabs())
 
+    # ONE arm: the 32-slot XLA bf16 comparison arm is impossible on this
+    # chip - its (S, T, H, Dh) cache layout lane-pads Dh=64 -> 128 (2.7x,
+    # XLA OOM report: bf16[32,2560,12,64] = 320M/layer/side = 12.8G), so
+    # 32 x 2560 only exists through the fused kv8 cache (2.9G).  The
+    # reference numbers are the 16-slot fused kv8 10.7k steps/s at 16x384
+    # / 7.7k at 16x2048 (PERF.md).  WIDE_PROBE_W8=0 measures the default
+    # bf16 weight tier instead.
+    w8 = os.environ.get("WIDE_PROBE_W8", "1") == "1"
     engines = {
-        "16 fused kv8": mk(16, True, 16),
-        "32 fused kv8+w8": mk(32, True, 32, w_int8=True),
-        "32 xla bf16": mk(32, False, 16),
+        f"32 fused kv8{'+w8' if w8 else ''}": mk(32, True, 32, w_int8=w8),
     }
     for name, eng in engines.items():
         print(name, "fused=", eng._fused, "kv8=", eng._kv8)
@@ -369,5 +503,6 @@ if __name__ == "__main__":
     probe = sys.argv[1] if len(sys.argv) > 1 else "tier_ab"
     {"tier_ab": tier_ab, "longform": longform,
      "service_ab": service_ab, "longform_kv8": longform_kv8,
-     "kv8_kl": kv8_kl, "gen_kv8": gen_kv8,
+     "longform_kv4": longform_kv4,
+     "kv8_kl": kv8_kl, "kv4_kl": kv4_kl, "gen_kv8": gen_kv8,
      "wide_engine": wide_engine}[probe]()
