@@ -194,11 +194,14 @@ def kv_int4(cfg: GPTConfig) -> bool:
 
     Nibble-packed rows with the same per-(token, head) (mantissa, exponent)
     scales (ops/pallas_step.kv4_quantize): the KV stream drops to ~33% of
-    bf16 (vs kv8's 58%) - the aggressive long-context tier.  Teacher-forced
-    KL ~0.01 nats / top-1 ~83% (PERF.md round 4) - the same quality class
-    as the opt-in int8 WEIGHT slabs (0.012 nats), an order noisier than
+    bf16 (vs kv8's 58%) and the cache to HALF of kv8's HBM footprint.
+    Measured perf-NEUTRAL at every 16-slot serving shape, both weight
+    tiers (PERF.md round 4: kv8 already sits under the weight-DMA overlap
+    ceiling) - this is the HBM-capacity tier for 64-slot / long-context
+    engines, not a speed lever.  Teacher-forced KL ~0.01 nats / top-1
+    ~83% - the int8 WEIGHT slab quality class, an order noisier than
     kv8's 0.0001, so it stays opt-in; anchor on real trained weights
-    before shipping it by default.  Wins over kv8 when both are set.
+    before trusting it further.  Wins over kv8 when both are set.
     Requires HD % 256 == 0 (nibble halves split into whole 128-lane
     tiles); other geometries fall back to the kv8/bf16 tier."""
     HD = cfg.num_attention_heads * cfg.head_dim

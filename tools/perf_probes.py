@@ -467,8 +467,14 @@ def wide_engine():
     # / 7.7k at 16x2048 (PERF.md).  WIDE_PROBE_W8=0 measures the default
     # bf16 weight tier instead.
     w8 = os.environ.get("WIDE_PROBE_W8", "1") == "1"
+    slots = int(os.environ.get("WIDE_PROBE_SLOTS", "32"))
+    # WIDE_PROBE_KV4=1 uses the int4 cache (halved HBM again - the 64-slot
+    # enabler); kv8 otherwise
+    if os.environ.get("WIDE_PROBE_KV4", "0") == "1":
+        os.environ["CHATTTS_KV_INT4"] = "1"
     engines = {
-        f"32 fused kv8{'+w8' if w8 else ''}": mk(32, True, 32, w_int8=w8),
+        f"{slots} fused kv{'4' if os.environ.get('CHATTTS_KV_INT4') else '8'}"
+        f"{'+w8' if w8 else ''}": mk(slots, True, slots, w_int8=w8),
     }
     for name, eng in engines.items():
         print(name, "fused=", eng._fused, "kv8=", eng._kv8)
@@ -494,7 +500,7 @@ def wide_engine():
             print(f"run {i} {name}: {tps:.0f} steps/s "
                   f"({tps * 4:.0f} speech tokens/s)")
     for v in ("CHATTTS_STEP_VMEM_MB", "CHATTTS_STEP_VMEM_MB_WIDE",
-              "CHATTTS_KV_INT8", "CHATTTS_STEP_INT8",
+              "CHATTTS_KV_INT8", "CHATTTS_KV_INT4", "CHATTTS_STEP_INT8",
               "CHATTTS_ENGINE_FUSED_SLOTS"):
         os.environ.pop(v, None)
 
