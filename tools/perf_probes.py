@@ -151,6 +151,103 @@ def service_ab():
 
 
 
+def stream_scale():
+    """Concurrent-stream scaling through TTSService: N clients share the
+    capacity engine's decode slots.  Reports per-N wall / aggregate
+    steps/s / TTFA p50, plus an instrumented breakdown of where the wall
+    goes (window-decode count and cumulative update_dev time per stream)
+    - the input for deciding whether a shared batched window vocode
+    across streams is worth building.  STREAM_TRACE=1 wraps the N=4 run
+    in jax.profiler.trace (dir /tmp/stream_trace)."""
+    import threading
+
+    from chattts_tpu.core import Chat
+    from chattts_tpu.engine import streaming as streaming_mod
+    from chattts_tpu.serving import TTSService
+
+    chat = _load()
+    svc = TTSService(chat)
+    S_STEPS = 256
+    params = Chat.InferCodeParams(
+        max_new_token=S_STEPS, min_new_token=S_STEPS, manual_seed=7,
+        stream_batch=16, pass_first_n_batches=0, stream_speed=12000,
+        show_tqdm=False)
+
+    # instrument: count window decodes + cumulative update_dev wall across
+    # all streams (thread-safe enough for coarse accounting)
+    stats = {"windows": 0, "upd_s": 0.0}
+    orig_decode = streaming_mod.DeviceStreamingDecoder._decode_window
+    orig_decode_async = streaming_mod.AsyncDeviceWindows._decode_window
+    orig_update = streaming_mod.DeviceStreamingDecoder.update_dev
+
+    def counting_decode(self, lo, hi, pad_left):
+        stats["windows"] += 1
+        return orig_decode(self, lo, hi, pad_left)
+
+    def counting_decode_async(self, lo, hi, pad_left):
+        stats["windows"] += 1
+        return orig_decode_async(self, lo, hi, pad_left)
+
+    def timing_update(self, feats_dev, n, final=False, end_dev=None):
+        t0 = time.perf_counter()
+        out = orig_update(self, feats_dev, n, final=final, end_dev=end_dev)
+        stats["upd_s"] += time.perf_counter() - t0
+        return out
+
+    streaming_mod.DeviceStreamingDecoder._decode_window = counting_decode
+    streaming_mod.AsyncDeviceWindows._decode_window = counting_decode_async
+    streaming_mod.DeviceStreamingDecoder.update_dev = timing_update
+
+    def run(n_clients):
+        ttfas = [None] * n_clients
+        done = [0.0] * n_clients
+
+        def client(i):
+            t0 = time.perf_counter()
+            for chunk in svc.synthesize_stream(
+                    "Concurrent scale client %d sentence." % i, params):
+                if chunk.size and ttfas[i] is None:
+                    ttfas[i] = time.perf_counter() - t0
+            done[i] = time.perf_counter() - t0
+
+        stats["windows"] = 0
+        stats["upd_s"] = 0.0
+        t0 = time.perf_counter()
+        ts = [threading.Thread(target=client, args=(i,))
+              for i in range(n_clients)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        tt = sorted(t for t in ttfas if t is not None)
+        p50 = tt[len(tt) // 2] if tt else float("nan")
+        return wall, p50, stats["windows"], stats["upd_s"]
+
+    try:
+        for n in (1, 2, 4, 8):
+            run(n)  # warmup that N's shapes
+            for i in range(2):
+                if (n == 4 and i == 1
+                        and os.environ.get("STREAM_TRACE") == "1"):
+                    import jax
+
+                    with jax.profiler.trace("/tmp/stream_trace"):
+                        wall, p50, nw, upd = run(n)
+                    print("  (trace written to /tmp/stream_trace)")
+                else:
+                    wall, p50, nw, upd = run(n)
+                agg = n * S_STEPS / wall
+                print(f"N={n} run {i}: wall={wall:.3f}s agg={agg:.0f} "
+                      f"steps/s ttfa_p50={p50 * 1e3:.0f}ms "
+                      f"windows={nw} update_dev={upd:.3f}s")
+    finally:
+        streaming_mod.DeviceStreamingDecoder._decode_window = orig_decode
+        streaming_mod.AsyncDeviceWindows._decode_window = orig_decode_async
+        streaming_mod.DeviceStreamingDecoder.update_dev = orig_update
+        svc.close()
+
+
 def longform_kv8():
     """Same-process A/B of the int8 KV cache at the long-form serving
     shape (16 x 2048) and the bench shape (16 x 384).  Builds one engine
@@ -511,4 +608,4 @@ if __name__ == "__main__":
      "service_ab": service_ab, "longform_kv8": longform_kv8,
      "longform_kv4": longform_kv4,
      "kv8_kl": kv8_kl, "kv4_kl": kv4_kl, "gen_kv8": gen_kv8,
-     "wide_engine": wide_engine}[probe]()
+     "wide_engine": wide_engine, "stream_scale": stream_scale}[probe]()
