@@ -238,14 +238,86 @@ def stream_scale():
                 else:
                     wall, p50, nw, upd = run(n)
                 agg = n * S_STEPS / wall
+                eng = svc._engs[0]
                 print(f"N={n} run {i}: wall={wall:.3f}s agg={agg:.0f} "
                       f"steps/s ttfa_p50={p50 * 1e3:.0f}ms "
-                      f"windows={nw} update_dev={upd:.3f}s")
+                      f"windows={nw} update_dev={upd:.3f}s "
+                      f"stats={dict(eng.stats)}")
     finally:
         streaming_mod.DeviceStreamingDecoder._decode_window = orig_decode
         streaming_mod.AsyncDeviceWindows._decode_window = orig_decode_async
         streaming_mod.DeviceStreamingDecoder.update_dev = orig_update
         svc.close()
+
+
+def append_ab():
+    """Price the per-slot append RMW: the fused step at identical geometry
+    with (a) scalar cur (per_slot=False, ONE batched RW-window RMW per
+    layer), (b) per-row cur with EQUAL values (per_slot=True, 4B DMA
+    issues per layer - isolates issue COUNT from alignment), (c) per-row
+    cur with staggered values (the real continuous-batching shape).
+
+    Motivation: engine chunk-step time scales ~linearly with slot count
+    (0.845 / 1.49 / 2.75 / 8.2 ms at B=8/16/32/64) while the KV chunk
+    reads are already batched - the per-row append windows (4B async
+    copies per layer per step) are the suspected per-row cost.  Measured
+    inside ONE jitted scan (the dispatch-latency trap, CLAUDE.md).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from chattts_tpu.config import Config
+    from chattts_tpu.models import llama
+    from chattts_tpu.ops import pallas_step
+
+    cfg = Config().gpt
+    HD = cfg.num_attention_heads * cfg.head_dim
+    L = cfg.num_hidden_layers
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    packed = pallas_step.pack_step_params(params, cfg)
+    B = int(os.environ.get("APPEND_AB_B", "16"))
+    T0, STEPS = 128, 128
+    T = ((T0 + STEPS + 31) // 32) * 32
+    k0 = (jax.random.normal(jax.random.PRNGKey(2), (L, B, T, HD),
+                            jnp.bfloat16) * 0.1)
+    v0 = (jax.random.normal(jax.random.PRNGKey(3), (L, B, T, HD),
+                            jnp.bfloat16) * 0.1)
+    kq = pallas_step.kv8_quantize(k0, cfg)
+    vq = pallas_step.kv8_quantize(v0, cfg)
+    emb = jax.random.normal(jax.random.PRNGKey(4), (B, cfg.hidden_size),
+                            jnp.float32) * 0.1
+    lo = jnp.zeros((B,), jnp.int32)
+
+    def body(packed, emb, lo, carry, _):
+        k, v, cur = carry
+        pos = jnp.broadcast_to(jnp.max(cur), (B,))
+        x, k2, v2 = pallas_step.decode_step_fused(
+            packed, emb, k, v, cur, lo, pos, cfg=cfg)
+        return (k2, v2, cur + 1), jnp.sum(x)
+
+    @jax.jit
+    def run_scan(k, v, cur):
+        fn = functools.partial(body, packed, emb, lo)
+        (k, v, cur), xs = lax.scan(fn, (k, v, cur), None, length=STEPS)
+        return jnp.sum(xs)
+
+    variants = {
+        "scalar cur (batched RMW)": jnp.int32(T0),
+        "per-row cur EQUAL": jnp.full((B,), T0, jnp.int32),
+        "per-row cur staggered": (T0 - 8 * (jnp.arange(B, dtype=jnp.int32)
+                                            % 8)).astype(jnp.int32),
+    }
+    for name, cur in variants.items():  # compile
+        run_scan(kq, vq, cur).block_until_ready()
+    for i in range(3):
+        for name, cur in variants.items():
+            t0 = time.perf_counter()
+            run_scan(kq, vq, cur).block_until_ready()
+            dt = (time.perf_counter() - t0) / STEPS * 1e3
+            print(f"run {i} B={B} kv8 {name}: {dt:.3f} ms/step")
 
 
 def longform_kv8():
@@ -608,4 +680,5 @@ if __name__ == "__main__":
      "service_ab": service_ab, "longform_kv8": longform_kv8,
      "longform_kv4": longform_kv4,
      "kv8_kl": kv8_kl, "kv4_kl": kv4_kl, "gen_kv8": gen_kv8,
-     "wide_engine": wide_engine, "stream_scale": stream_scale}[probe]()
+     "wide_engine": wide_engine, "stream_scale": stream_scale,
+     "append_ab": append_ab}[probe]()
