@@ -19,6 +19,7 @@ thread-safe in JAX and run in the request threads.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import uuid
@@ -30,6 +31,48 @@ from .core import Chat
 from .utils.logger import get_logger
 
 logger = get_logger("chattts.serving")
+
+
+class _IncQueue:
+    """Bounded streaming-increment queue (defense against slow consumers).
+
+    Each item is ``(cum_hiddens_row, count, finished)`` where the hidden row
+    is the request's CUMULATIVE device buffer - a later item strictly
+    supersedes an earlier non-final one.  When the consumer lags more than
+    ``maxsize`` chunks behind, the newest non-final increment REPLACES the
+    previous one instead of appending, so an abandoned or stalled consumer
+    pins at most ``maxsize`` device hidden-row snapshots (~6 MB each at
+    capacity shape) instead of one per decode chunk.  Final notifications
+    always append (they carry the terminal state and must not be dropped).
+    """
+
+    def __init__(self, maxsize: int = 4):
+        self._cv = threading.Condition()
+        self._items: collections.deque = collections.deque()
+        self.maxsize = maxsize
+
+    def put(self, item) -> None:
+        with self._cv:
+            if (len(self._items) >= self.maxsize and not item[2]
+                    and self._items and not self._items[-1][2]):
+                self._items[-1] = item  # cumulative row: newest supersedes
+            else:
+                self._items.append(item)
+            self._cv.notify()
+
+    def get(self):
+        with self._cv:
+            while not self._items:
+                self._cv.wait()
+            return self._items.popleft()
+
+    def drain(self) -> None:
+        with self._cv:
+            self._items.clear()
+
+    def __len__(self) -> int:
+        with self._cv:
+            return len(self._items)
 
 
 class TTSService:
@@ -107,6 +150,22 @@ class TTSService:
                             entry[0].put(o)
                 if not busy:
                     self._work.clear()
+
+    def stats(self) -> dict:
+        """Live service snapshot: per-engine occupancy + rolling latency
+        percentiles (Engine.latency_stats) so serving collapses are
+        observable in production (reference analog: record_metrics-style
+        logging, velocity/llm_engine.py:667-740)."""
+        snap: dict = {"peak_slots": self.max_concurrent_slots,
+                      "pending": len(self._pending)}
+        for eng in self._engines():
+            key = "text" if eng.ecfg.infer_text else "code"
+            snap[key] = {
+                "slots_busy": sum(r is not None for r in eng.slots),
+                "slots": eng.ecfg.max_num_seqs,
+                "waiting": len(eng.waiting),
+                **eng.stats, **eng.latency_stats()}
+        return snap
 
     def abort(self, request_id: str) -> bool:
         """Drop ONE queued or running request (engine ``abort_request``
@@ -237,7 +296,7 @@ class TTSService:
         c = self.chat
         params = params_code or Chat.InferCodeParams()
         rt = c.config.runtime
-        inc_q: queue.Queue = queue.Queue()
+        inc_q = _IncQueue()
         count = [0]
 
         def on_tokens(rid, new_ids, new_hid, finished):
@@ -250,6 +309,7 @@ class TTSService:
         reqs = self._code_reqs([text], params, on_tokens=on_tokens)
         for r in reqs:
             r.stream_hiddens_dev = True
+        rid = reqs[0].request_id
         self._submit(c._engine_for_code(), reqs)
 
         from .engine.streaming import EmissionPacer
@@ -262,21 +322,33 @@ class TTSService:
         cum = None
         n = 0
         finished = False
-        while not finished:
-            new_hid, n, finished = inc_q.get()
-            if new_hid is not None:
-                cum = new_hid  # full (max_new, D) device row
-            if cum is None or n == 0:
-                continue
-            # full fixed-shape row: the window jit compiles once; rows
-            # beyond n are garbage but every decode window ends at <= n
-            chunk = sd.update_dev(cum[None], n, final=finished)
-            emit = pacer.push(chunk, final=finished)
-            if emit is not None:
-                yield emit
-        tail = None
-        if cum is not None and n and sd.emitted < sd.available:
-            tail = sd.update_dev(cum[None], n, final=True)
-        final_chunk = pacer.flush(tail)
-        if final_chunk.size:
-            yield final_chunk
+        try:
+            while not finished:
+                new_hid, n, finished = inc_q.get()
+                if new_hid is not None:
+                    cum = new_hid  # full (max_new, D) device row
+                if cum is None or n == 0:
+                    continue
+                # full fixed-shape row: the window jit compiles once; rows
+                # beyond n are garbage but every decode window ends at <= n
+                chunk = sd.update_dev(cum[None], n, final=finished)
+                emit = pacer.push(chunk, final=finished)
+                if emit is not None:
+                    yield emit
+            tail = None
+            if cum is not None and n and sd.emitted < sd.available:
+                tail = sd.update_dev(cum[None], n, final=True)
+            final_chunk = pacer.flush(tail)
+            if final_chunk.size:
+                yield final_chunk
+        finally:
+            # consumer abandonment (GeneratorExit when an HTTP client
+            # disconnects mid-stream, or any exception in the consumer):
+            # without the abort the slot keeps decoding to max_new and
+            # on_tokens keeps snapshotting device hidden rows nobody reads
+            # - abort frees the shared slot NOW (reference semantics:
+            # cooperative interrupt gpt.py:103-111,592 + engine abort
+            # llm_engine.py:365-371).  Harmless after normal completion.
+            if not finished:
+                self.abort(rid)
+            inc_q.drain()

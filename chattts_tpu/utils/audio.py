@@ -47,6 +47,66 @@ def wav_bytes(audio: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
     return buf.getvalue()
 
 
+def wav_stream_header(sample_rate: int = SAMPLE_RATE) -> bytes:
+    """44-byte PCM16-mono WAV header with UNKNOWN length.
+
+    RIFF/data sizes are 0xFFFFFFFF - the convention encoders (ffmpeg) use
+    for non-seekable sinks - so a streaming HTTP response can send ONE
+    header followed by raw PCM16 frames and remain a single logical wav
+    whose true length is wherever the transfer ends (the reference streams
+    one logical stream per request, examples/api/openai_api.py:149-285).
+    Use :func:`read_wav_stream` to parse such a body.
+    """
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
+def pcm16_bytes(audio: np.ndarray) -> bytes:
+    """float32 waveform -> raw little-endian PCM16 frames (no container).
+
+    Same quantizer as :func:`write_wav` (fixed 32767 gain for in-range
+    signals), so independently quantized streaming chunks concatenate into
+    the same PCM a whole-file write would produce.
+    """
+    return float_to_int16(np.asarray(audio, np.float32).reshape(-1)).tobytes()
+
+
+def read_wav_stream(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a streamed wav body (header sizes may be the 0xFFFFFFFF
+    unknown-length convention): reads the fmt chunk, then consumes PCM to
+    end-of-data regardless of the declared data size.  Returns
+    (float32 mono waveform, sample_rate).  Also accepts ordinary wavs."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body_end = (len(data) if size == 0xFFFFFFFF
+                    else min(len(data), pos + 8 + size))
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", data[pos + 8:pos + 24])
+        elif cid == b"data":
+            pcm = data[pos + 8:body_end]
+        pos = body_end + (body_end & 1 if size != 0xFFFFFFFF else 0)
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported wav stream format {fmt}")
+    x = np.frombuffer(pcm[: len(pcm) - (len(pcm) % (2 * channels))],
+                      np.int16).astype(np.float32) / 32768.0
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, sample_rate
+
+
 def read_wav(path_or_buf) -> tuple[np.ndarray, int]:
     """wav file -> (float32 mono waveform in [-1, 1], sample_rate)."""
     w = wave.open(path_or_buf, "rb")

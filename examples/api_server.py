@@ -33,7 +33,8 @@ sys.path.insert(0, ".")
 
 from chattts_tpu import Chat
 from chattts_tpu.serving import TTSService
-from chattts_tpu.utils.audio import transcode, wav_bytes
+from chattts_tpu.utils.audio import (pcm16_bytes, transcode, wav_bytes,
+                                     wav_stream_header)
 from chattts_tpu.utils.logger import get_logger
 from chattts_tpu.utils.seeder import SpeakerSeedContext
 
@@ -70,6 +71,9 @@ def _params_from(body) -> tuple[Chat.RefineTextParams, Chat.InferCodeParams]:
         max_new_token=int(body.get("max_new_token", 2048)),
         min_new_token=int(body.get("min_new_token", 0)),
         manual_seed=body.get("manual_seed"),
+        stream_batch=int(body.get("stream_batch", 24)),
+        stream_speed=int(body.get("stream_speed", 12000)),
+        pass_first_n_batches=int(body.get("pass_first_n_batches", 2)),
     )
     rp = Chat.RefineTextParams(
         prompt=body.get("refine_prompt", ""),
@@ -100,6 +104,14 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(payload)
 
+    def _stream_chunk(self, payload: bytes):
+        """One HTTP chunked-transfer frame (empty payloads are skipped - a
+        zero-length chunk would terminate the transfer)."""
+        if payload:
+            self.wfile.write(f"{len(payload):x}\r\n".encode())
+            self.wfile.write(payload + b"\r\n")
+            self.wfile.flush()
+
     def do_GET(self):
         if self.path in ("/", "/index.html"):
             import os
@@ -111,8 +123,7 @@ class Handler(BaseHTTPRequestHandler):
             except OSError:
                 self._json_error(404, "webui.html missing")
         elif self.path == "/health":
-            self._json(200, {"status": "ok",
-                             "peak_slots": _svc.max_concurrent_slots})
+            self._json(200, {"status": "ok", **_svc.stats()})
         elif self.path == "/sample_random_speaker":
             self._json(200, {"spk_emb": _chat.sample_random_speaker()})
         else:
@@ -218,18 +229,27 @@ class Handler(BaseHTTPRequestHandler):
                 400, f"response_format {fmt!r} unsupported (wav only)")
         rp, p = _params_from(body)
         if bool(body.get("stream", False)):
+            # ONE logical wav per response: a single unknown-length header,
+            # then raw PCM16 frames per emission window (the reference
+            # streams one stream per request, openai_api.py:149-285; the
+            # old per-chunk wav_bytes produced N concatenated wav files)
+            gen = _svc.synthesize_stream(text, p)
             try:
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
-                for chunk in _svc.synthesize_stream(text, p):
-                    payload = wav_bytes(chunk[0])
-                    self.wfile.write(f"{len(payload):x}\r\n".encode())
-                    self.wfile.write(payload + b"\r\n")
+                self._stream_chunk(wav_stream_header())
+                for chunk in gen:
+                    self._stream_chunk(pcm16_bytes(chunk[0]))
                 self.wfile.write(b"0\r\n\r\n")
             except Exception as e:  # noqa: BLE001
-                logger.error("stream failed: %s", e)
+                logger.info("stream client gone: %s", e)
+            finally:
+                # client disconnect mid-stream: closing the generator fires
+                # its abort path, freeing the engine slot immediately
+                # instead of decoding to max_new for nobody
+                gen.close()
             return
         try:
             audio = _svc.synthesize(

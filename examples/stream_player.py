@@ -49,6 +49,40 @@ class StreamRebuffer:
         return None
 
 
+def http_stream(url: str, text: str, max_new: int,
+                **body_extra) -> Iterator[np.ndarray]:
+    """Consume the api_server's streaming ``/v1/audio/speech`` response.
+
+    The body is ONE logical wav: a single unknown-length header followed by
+    raw PCM16 frames (utils/audio.wav_stream_header) - this reader skips the
+    44-byte header and yields float32 blocks as HTTP chunks arrive.
+    """
+    import json
+    import urllib.request
+
+    body = {"input": text, "stream": True, "max_new_token": max_new,
+            **body_extra}
+    req = urllib.request.Request(
+        url.rstrip("/") + "/v1/audio/speech",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        hdr = r.read(44)  # one wav header per stream
+        if hdr[:4] != b"RIFF":
+            raise RuntimeError("expected a wav stream")
+        carry = b""
+        while True:
+            raw = r.read(8192)
+            if not raw:
+                break
+            carry += raw
+            n = len(carry) // 2 * 2
+            if n:
+                yield (np.frombuffer(carry[:n], np.int16)
+                       .astype(np.float32) / 32768.0)
+                carry = carry[n:]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("text")
@@ -57,17 +91,25 @@ def main() -> int:
                     choices=["local", "custom", "random"])
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--max-new", type=int, default=2048)
+    ap.add_argument("--url", default=None,
+                    help="consume a running api_server's HTTP stream "
+                         "instead of loading the model in-process")
     args = ap.parse_args()
 
-    chat = Chat(logger=logger)
-    chat.load(source=args.source)
-    params = Chat.InferCodeParams(max_new_token=args.max_new)
+    if args.url is not None:
+        chunks = http_stream(args.url, args.text, args.max_new)
+    else:
+        chat = Chat(logger=logger)
+        chat.load(source=args.source)
+        params = Chat.InferCodeParams(max_new_token=args.max_new)
+        chunks = chat.infer(args.text, stream=True,
+                            params_infer_code=params)
 
     rebuf = StreamRebuffer(args.block)
     blocks = []
     t0 = time.time()
     first = None
-    for chunk in chat.infer(args.text, stream=True, params_infer_code=params):
+    for chunk in chunks:
         for block in rebuf.push(chunk):
             if first is None:
                 first = time.time() - t0
