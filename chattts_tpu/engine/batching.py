@@ -167,6 +167,8 @@ class EngineRequest:
     _attempts: int = 0           # ensure_non_empty retries so far
     _resume_ids: Optional[np.ndarray] = None      # (n, num_vq) generated
     _emitted: int = 0            # tokens already streamed via on_tokens
+    _admit_t: float = 0.0        # first admission time (latency stats)
+    _first_done: bool = False    # admit->first-emission already recorded
 
     @property
     def resume_len(self) -> int:
@@ -694,6 +696,34 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False,
 # ---------------------------------------------------------------------------
 
 
+def fused_slot_limit(cfg: GPTConfig) -> int:
+    """Widest slot count the whole-step megakernel serves (0 = XLA step).
+
+    The sharded (mesh) engine always keeps the XLA step, which pjit
+    partitions (per-chip slot counts stay small under dp).  Single-chip,
+    the gate default is 32 WITH a quantized KV cache (round 4): wide
+    batches raise the kernel's scoped-VMEM limit (ops/pallas_step
+    CompilerParams) and the int8-kv chunks halve the per-position VMEM
+    cost - measured 32 x 384 fused kv8+w8 11.6k steps/s (46.5k speech
+    tokens/s), vs 10.7k at 16 slots.  With a bf16 cache
+    (CHATTTS_KV_INT8=0) the default falls back to 16: round 3 measured
+    the bf16 fused kernel LOSING to XLA past 16 slots, and the 11.6k
+    justification was kv8-only (advisor r4).  Note the 32-slot XLA
+    alternative cannot exist on one chip either way: its (S, T, H, Dh)
+    cache lane-pads Dh 64 -> 128 (2.7x = 12.8 GB at 32 x 2560, XLA
+    HBM-OOM report in PERF.md round 4).  ``CHATTTS_ENGINE_FUSED_SLOTS``
+    overrides (e.g. 64 for the documented slot-count-over-throughput
+    configuration with kv4)."""
+    import os as _os
+
+    from .generate import kv_quant_bits, use_fused_step
+
+    if not use_fused_step(cfg):
+        return 0
+    return int(_os.environ.get("CHATTTS_ENGINE_FUSED_SLOTS",
+                               "32" if kv_quant_bits(cfg) else "16"))
+
+
 class Engine:
     """FCFS continuous-batching engine over the jitted slot state.
 
@@ -714,26 +744,10 @@ class Engine:
         """
         self.cfg = cfg
         self.ecfg = ecfg
-        from .generate import use_fused_step
-
-        # the whole-step megakernel serves the single-chip engine; the
-        # sharded (mesh) engine keeps the XLA step, which pjit partitions
-        # (per-chip slot counts stay small under dp).  The gate default is
-        # 32 since round 4: wide batches raise the kernel's scoped-VMEM
-        # limit (ops/pallas_step CompilerParams) and the int8-kv chunks
-        # halve the per-position VMEM cost - measured 32 x 384 fused
-        # kv8+w8 11.6k steps/s (46.5k speech tokens/s), vs 10.7k at 16
-        # slots.  The 32-slot XLA alternative cannot exist on one chip:
-        # its (S, T, H, Dh) cache lane-pads Dh 64 -> 128 (2.7x = 12.8 GB
-        # at 32 x 2560, XLA HBM-OOM report in PERF.md round 4).
-        import os as _os
-
-        fused_slots = int(_os.environ.get("CHATTTS_ENGINE_FUSED_SLOTS",
-                                          "32"))
-        self._fused = (use_fused_step(cfg) and mesh is None
-                       and ecfg.max_num_seqs <= fused_slots)
         from .generate import kv_quant_bits
 
+        self._fused = (mesh is None
+                       and fused_slot_limit(cfg) >= ecfg.max_num_seqs)
         self._kvb = kv_quant_bits(cfg) if self._fused else 0
         self._kv8 = self._kvb == 8  # kept for probes/back-compat asserts
         self._packed = {}
@@ -790,6 +804,11 @@ class Engine:
         # stats (reference logs every 5 s, llm_engine.py:667-740)
         self.stats = {"tokens_generated": 0, "requests_finished": 0,
                       "steps": 0, "prefills": 0}
+        # latency observability (VERDICT r4 #7): submit->admit queue delay
+        # and admit->first-emission, rolling windows so a production
+        # collapse (TTFA ~= wall) is visible in stats, not just benches
+        self._lat_queue: collections.deque = collections.deque(maxlen=512)
+        self._lat_first: collections.deque = collections.deque(maxlen=512)
         self._last_log = time.monotonic()
 
     # -- public API ----------------------------------------------------
@@ -1048,6 +1067,9 @@ class Engine:
                 self._acc_ids[s] = np.zeros((0, nvq), np.int32)
                 self._entry_steps[s] = 0
                 self.stats["prefills"] += 1
+                if not req._admit_t:  # first admission only (not resumes)
+                    req._admit_t = time.monotonic()
+                    self._lat_queue.append(req._admit_t - req.arrival)
 
     def _maybe_preempt(self):
         """Starvation control: preempt-by-recompute the longest-remaining
@@ -1196,6 +1218,10 @@ class Engine:
                                                  np.float32))
                     req.on_tokens(req.request_id, new_ids, new_hid, fin)
                     req._emitted = n
+                    if not req._first_done:
+                        req._first_done = True
+                        self._lat_first.append(
+                            time.monotonic() - req._admit_t)
             if not finish[s]:
                 continue
             n = int(end_idx[s])
@@ -1230,6 +1256,9 @@ class Engine:
                 self.waiting.appendleft(req)
                 self.stats["retries"] = self.stats.get("retries", 0) + 1
                 continue
+            if not req._first_done:  # non-streaming: first output IS the
+                req._first_done = True  # first emission
+                self._lat_first.append(time.monotonic() - req._admit_t)
             out = EngineOutput(
                 request_id=req.request_id, ids=out_ids, hiddens=hid,
                 hiddens_dev=hid_dev, finish_reason=reason,
@@ -1258,6 +1287,24 @@ class Engine:
         self._maybe_log()
         return outputs
 
+    def latency_stats(self) -> Dict[str, float]:
+        """Rolling-window latency percentiles (seconds): submit->admit
+        queue delay and admit->first-emission.  The reference's analog is
+        the 5 s throughput log (llm_engine.py:667-740); these two are the
+        terms a concurrent-serving TTFA decomposes into, so a production
+        collapse (first audio arriving at request end) is observable here
+        rather than only in benches."""
+        out: Dict[str, float] = {}
+        for name, window in (("queue_delay", self._lat_queue),
+                             ("first_emission", self._lat_first)):
+            if window:
+                v = np.sort(np.asarray(window, np.float64))
+                out[f"{name}_p50_s"] = float(v[len(v) // 2])
+                out[f"{name}_p90_s"] = float(v[(len(v) * 9) // 10])
+                out[f"{name}_max_s"] = float(v[-1])
+                out[f"{name}_n"] = len(v)
+        return out
+
     def _maybe_log(self):
         now = time.monotonic()
         if now - self._last_log < 5.0:
@@ -1266,7 +1313,11 @@ class Engine:
         occ = sum(r is not None for r in self.slots)
         import logging
 
+        lat = self.latency_stats()
         logging.getLogger(__name__).info(
-            "engine: %d/%d slots, %d waiting, %d finished, %d tokens",
+            "engine: %d/%d slots, %d waiting, %d finished, %d tokens, "
+            "queue p50 %.0f ms, first-emission p50 %.0f ms",
             occ, self.ecfg.max_num_seqs, len(self.waiting),
-            self.stats["requests_finished"], self.stats["tokens_generated"])
+            self.stats["requests_finished"], self.stats["tokens_generated"],
+            lat.get("queue_delay_p50_s", 0.0) * 1e3,
+            lat.get("first_emission_p50_s", 0.0) * 1e3)

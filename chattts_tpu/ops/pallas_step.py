@@ -610,8 +610,8 @@ def _kernel(cur_ref, curv_ref, lo_ref, cosf_ref, sinf_ref, ln1_ref, ln2_ref,
 def decode_step_fused(
     packed: dict,            # pack_step_params output
     emb: jnp.ndarray,        # (B, D) f32 current-token embedding
-    k_cache: jnp.ndarray,    # (L, B, T, HD) bf16 - consumed (aliased)
-    v_cache: jnp.ndarray,    # (L, B, T, HD) bf16 - consumed (aliased)
+    k_cache: jnp.ndarray,    # (L, B, T, W) - consumed (aliased); see below
+    v_cache: jnp.ndarray,    # (L, B, T, W) - consumed (aliased); see below
     cur: jnp.ndarray,        # () i32 shared position, or (B,) per-slot
     lo: jnp.ndarray,         # (B,) i32 first visible slot per row
     positions: jnp.ndarray,  # (B,) i32 rope position of the current token
@@ -625,6 +625,18 @@ def decode_step_fused(
     apply the final rms_norm.  Cache arrays alias in place.  A scalar
     ``cur`` is the single-generation path (one batched append window);
     a (B,) ``cur`` is the continuous-batching path (per-row windows).
+
+    Cache layouts (tier auto-detected from dtype/width, matching the
+    producers ``kv8_quantize``/``kv4_quantize``):
+
+    * bf16 (W = HD): plain rows, 8-row append windows.
+    * kv8 int8 (W = HD + KV_PAD): per-(token, head) (mantissa, exponent)
+      scales embedded in the padding lanes ``[q(HD) | m(H) | e(H) | pad]``;
+      32-row append windows (int8 tile sublane).
+    * kv4 int8 (W = HD//2 + KV_PAD): two nibbles per byte plus the same
+      embedded scale lanes.
+
+    ``T`` must be a multiple of 8 (bf16) / 32 (quantized tiers).
     """
     from ..models.llama import rope_tables
 
