@@ -401,6 +401,53 @@ def test_engine_with_fused_step_kernel(monkeypatch):
         bat._build_kernels.cache_clear()
 
 
+def test_engine_64_slot_kv4_config(monkeypatch):
+    """Pin the documented slot-count-over-throughput configuration: a
+    64-slot fused engine with the int4 KV cache compiles and generates
+    (interpret mode on CPU).  PERF.md round 4 measured this config at 7.8k
+    steps/s on TPU (-30% aggregate vs the 32-slot peak) as the 2x-capacity
+    trade; kv4 is mandatory there (kv8 halves it again, bf16 cannot fit
+    64x2560 in HBM at all)."""
+    import jax
+    from chattts_tpu.config import GPTConfig
+    from chattts_tpu.engine import batching as bat
+    from chattts_tpu.models import embed as embed_mod
+    from chattts_tpu.models import llama
+
+    monkeypatch.setenv("CHATTTS_PALLAS_STEP", "1")
+    monkeypatch.setenv("CHATTTS_KV_INT4", "1")
+    monkeypatch.setenv("CHATTTS_ENGINE_FUSED_SLOTS", "64")
+    bat._build_kernels.cache_clear()
+    try:
+        # kv4 needs HD % 256 == 0 (nibble halves as whole 128-lane tiles)
+        cfg = GPTConfig(hidden_size=256, intermediate_size=512,
+                        num_attention_heads=2, num_hidden_layers=2,
+                        max_position_embeddings=256, num_audio_tokens=626,
+                        num_text_tokens=300, num_vq=4)
+        assert bat.fused_slot_limit(cfg) == 64
+        gp = llama.init_params(jax.random.PRNGKey(0), cfg)
+        ep = embed_mod.init_params(jax.random.PRNGKey(1), cfg)
+        ecfg = bat.EngineConfig(max_num_seqs=64, max_prompt_len=16,
+                                max_new_tokens=8, chunk_steps=4)
+        eng = bat.Engine(cfg, ecfg, gp, ep)
+        assert eng._fused and eng._kvb == 4
+        rng = np.random.default_rng(9)
+        # enough requests to occupy slots past the 32-peak boundary
+        reqs = [bat.EngineRequest(
+            request_id=f"w{i}",
+            ids=rng.integers(5, 50, (4, cfg.num_vq)).astype(np.int32),
+            text_mask=np.ones((4,), bool),
+            temperature=np.full((cfg.num_vq,), 0.7, np.float32),
+            min_new=4, max_new=4, seed=100 + i) for i in range(40)]
+        outs = eng.generate(reqs)
+        assert len(outs) == 40
+        assert eng.stats.get("peak_slots", 0) > 32
+        for o in outs:
+            assert o.ids.shape[0] == 4
+    finally:
+        bat._build_kernels.cache_clear()
+
+
 def test_prompt_too_long_rejected(tiny_config, params):
     cfg = tiny_config.gpt
     eng = _mk_engine(tiny_config, params)
