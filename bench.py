@@ -114,19 +114,20 @@ def main():
         f"(2 withheld yields of 24 steps, reference semantics)")
 
     # ---- serving spine: the engine IS the product's concurrent path ------
-    # (a) capacity-tier saturated offline throughput: 16 requests x 384
-    # steps through Engine.generate - the velocity analog's first-class
+    # (a) saturated offline throughput through the REAL router: 32 requests
+    # route to the 32-slot wide tier (the measured single-chip peak, PERF.md
+    # round 4) with no env vars - the velocity analog's first-class
     # observable (reference logs prompt/gen throughput every 5 s,
-    # velocity/llm_engine.py:667-740)
-    eng = chat._engine_for_code("capacity")
+    # velocity/llm_engine.py:667-740).  The 16-slot capacity tier is
+    # reported alongside (it remains the streaming spine).
     sat_params = Chat.InferCodeParams(
         max_new_token=STEPS, min_new_token=STEPS, manual_seed=5,
         show_tqdm=False)
-    sat_texts = ["Saturated serving benchmark sentence number %d." % i
-                 for i in range(16)]
 
-    def run_engine():
-        reqs = chat._code_requests(sat_texts, sat_params)
+    def run_engine(eng, n_requests):
+        texts = ["Saturated serving benchmark sentence number %d." % i
+                 for i in range(n_requests)]
+        reqs = chat._code_requests(texts, sat_params)
         for i, r in enumerate(reqs):
             r.request_id = f"bench-sat-{time.monotonic_ns()}-{i}"
         t0 = time.perf_counter()
@@ -135,14 +136,24 @@ def main():
         total = sum(o.metrics["gen_tokens"] for o in outs)
         return wall, total
 
-    run_engine()  # warmup (compile the 16-slot shapes)
-    eng_tps = 0.0
-    for i in range(3):
-        wall, total = run_engine()
-        tps = total / wall
-        log(f"engine run {i}: wall={wall:.3f}s steps={total:.0f} "
-            f"steps/s={tps:.0f} (speech tokens/s/chip={tps * 4:.0f})")
-        eng_tps = max(eng_tps, tps)
+    def measure_engine(label, eng, n_requests):
+        run_engine(eng, n_requests)  # warmup (compile the slot shapes)
+        best = 0.0
+        for i in range(3):
+            wall, total = run_engine(eng, n_requests)
+            tps = total / wall
+            log(f"engine[{label}] run {i}: wall={wall:.3f}s "
+                f"steps={total:.0f} steps/s={tps:.0f} "
+                f"(speech tokens/s/chip={tps * 4:.0f})")
+            best = max(best, tps)
+        return best
+
+    wide_eng = chat._engine_for_code_auto(
+        n_requests=32, max_new=STEPS, prompt_len=64)
+    log(f"router: 32 requests -> {wide_eng.ecfg.max_num_seqs}-slot tier")
+    eng_tps = measure_engine("wide-32x384", wide_eng, 32)
+    cap_tps = measure_engine(
+        "capacity-16x384", chat._engine_for_code("capacity"), 16)
 
     # (b) concurrent streaming through TTSService: 4 overlapping clients
     # share the capacity engine's slots; per-stream TTFA and aggregate
@@ -181,23 +192,29 @@ def main():
         wall = time.perf_counter() - t0
         return wall, sorted(t for t in ttfas if t is not None), max(done)
 
+    # The JSON reports the MEDIAN run (plus every run verbatim): BENCH_r04
+    # selected the best-agg run, which hid a 7-25x collapse on 2 of 3
+    # repeats (VERDICT r4 weak #1).  Medians over >= 6 runs make a repeat
+    # of that shape land in the headline numbers, not the footnotes.
+    runs = []
     try:
         run_service()  # warmup (streaming window shapes)
-        best = None
-        for i in range(3):
+        for i in range(6):
             wall, tt, slowest = run_service()
             p50 = tt[len(tt) // 2] if tt else float("nan")
             agg = N_CLIENTS * S_STEPS / wall
             log(f"service run {i}: wall={wall:.3f}s ttfa_p50={p50 * 1e3:.0f}ms "
                 f"agg steps/s={agg:.0f}")
-            if best is None or agg > best[0]:
-                best = (agg, p50)
-        svc_tps, svc_ttfa = best
+            runs.append((agg, p50))
     finally:
         svc.close()
-    log(f"serving spine: engine {eng_tps:.0f} steps/s saturated, "
-        f"service {N_CLIENTS} streams {svc_tps:.0f} steps/s agg, "
-        f"TTFA p50 {svc_ttfa * 1e3:.0f} ms")
+    aggs = sorted(a for a, _ in runs)
+    p50s = sorted(p for _, p in runs)
+    svc_tps = aggs[len(aggs) // 2]
+    svc_ttfa = p50s[len(p50s) // 2]
+    log(f"serving spine: engine {eng_tps:.0f} steps/s saturated (wide), "
+        f"{cap_tps:.0f} (capacity); service {N_CLIENTS} streams median "
+        f"{svc_tps:.0f} steps/s agg, median TTFA p50 {svc_ttfa * 1e3:.0f} ms")
     print(json.dumps({
         "metric": "rtf_batch8_e2e",
         "value": round(rtf, 3),
@@ -206,8 +223,12 @@ def main():
         "ttfa_ms_lever": round(lever * 1e3, 1),
         "ttfa_ms_default": round(default * 1e3, 1),
         "engine_sat_steps_per_s": round(eng_tps, 1),
+        "engine_cap16_steps_per_s": round(cap_tps, 1),
         "svc_stream4_steps_per_s": round(svc_tps, 1),
         "svc_stream4_ttfa_p50_ms": round(svc_ttfa * 1e3, 1),
+        "svc_stream4_best_steps_per_s": round(aggs[-1], 1),
+        "svc_stream4_worst_ttfa_p50_ms": round(p50s[-1] * 1e3, 1),
+        "svc_runs": [[round(a, 1), round(p * 1e3, 1)] for a, p in runs],
     }))
 
 

@@ -1162,8 +1162,8 @@ class Chat:
                 packed=self._step_slabs())
         return engines[tier]
 
-    def _engine_for_code_auto(self, n_requests: int, max_new: int,
-                              prompt_len: int):
+    def _code_tier_for(self, n_requests: int, max_new: int,
+                       prompt_len: int) -> str:
         """Pick the cheapest code-engine tier that fits the WORKLOAD.
 
         Routing is by batch width and prompt length - ``max_new`` is only a
@@ -1174,22 +1174,30 @@ class Chat:
         the 32-slot "wide" tier, the measured single-chip throughput peak
         (PERF.md round 4) - but only when the fused kernel actually runs
         32 slots there (quantized KV cache; a bf16-cache build caps the
-        fused gate at 16 and the capacity tier time-slices instead)."""
+        fused gate at 16 and the capacity tier time-slices instead).  A
+        pure decision (no engine construction) so the gate is testable
+        without building the 32-slot state."""
         fast = self._code_engine_geometry("fast")
         if (n_requests <= fast.max_num_seqs
                 and max_new <= fast.max_new_tokens
                 and prompt_len <= max(fast.buckets)):
-            return self._engine_for_code("fast")
+            return "fast"
         cap = self._code_engine_geometry("capacity")
         wide = self._code_engine_geometry("wide")
         if n_requests > cap.max_num_seqs and prompt_len <= max(wide.buckets):
-            from .engine.batching import fused_slot_limit
+            from .engine import batching
 
             # gate BEFORE building: a 32-slot XLA-path engine would OOM on
             # one chip (the whole reason the wide tier is megakernel-only)
-            if fused_slot_limit(self.config.gpt) >= wide.max_num_seqs:
-                return self._engine_for_code("wide")
-        return self._engine_for_code("capacity")
+            if batching.fused_slot_limit(self.config.gpt) \
+                    >= wide.max_num_seqs:
+                return "wide"
+        return "capacity"
+
+    def _engine_for_code_auto(self, n_requests: int, max_new: int,
+                              prompt_len: int):
+        return self._engine_for_code(
+            self._code_tier_for(n_requests, max_new, prompt_len))
 
     def _engine_for_text(self):
         """Text-mode engine for the refine pass under ``use_engine``."""

@@ -695,6 +695,52 @@ def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False,
 # Host-side engine
 # ---------------------------------------------------------------------------
 
+# Per-slot state surgery helpers with TRACED indices, jitted once.  The
+# eager spellings (``buf[s]``, ``mask.at[s].set(False)``) bake the Python
+# int into the executable, so every new slot index / index-vector length
+# mints a fresh compile - on this chip's remote compile service each costs
+# ~0.5-1 s of blocked Engine.step, which a concurrent-serving client sees
+# as a multi-second TTFA spike mid-deployment (the BENCH_r04 "service
+# collapse": first-hit shapes, not chip weather).  Traced indices + the
+# power-of-two padding below bound the compiled-shape population.
+
+
+@jax.jit
+def _slot_row(buf, i):
+    """buf[i] for one traced slot index (one compile serves every slot)."""
+    return buf[i]
+
+
+@jax.jit
+def _mask_off_one(mask, i):
+    return mask.at[i].set(False)
+
+
+@jax.jit
+def _mask_off_rows(mask, rows):
+    return mask.at[rows].set(False)
+
+
+@jax.jit
+def _gather_rows(buf, rows):
+    return buf[rows]
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _gather_rows_prefix(buf, rows, n):
+    return buf[rows, :n]
+
+
+def _pow2_pad(idx: List[int]) -> np.ndarray:
+    """Pad an index list to the next power-of-two length by repeating its
+    first entry.  Duplicate rows are harmless everywhere this is used
+    (gathers re-read, scatters re-write the same value), and the padding
+    caps the distinct compiled gather/scatter shapes at log2(slots)+1
+    instead of one per occupancy count."""
+    n = len(idx)
+    m = 1 << max(n - 1, 0).bit_length()
+    return np.asarray(idx + [idx[0]] * (m - n), np.int32)
+
 
 def fused_slot_limit(cfg: GPTConfig) -> int:
     """Widest slot count the whole-step megakernel serves (0 = XLA step).
@@ -840,7 +886,8 @@ class Engine:
                 if r is not None and r.request_id == request_id:
                     self.slots[s] = None
                     self.state = self.state._replace(
-                        active=self.state.active.at[s].set(False))
+                        active=_mask_off_one(self.state.active,
+                                             jnp.int32(s)))
                     req = r
                     break
         if req is not None and req.on_tokens is not None:
@@ -968,6 +1015,104 @@ class Engine:
         order = {r.request_id: i for i, r in enumerate(requests)}
         outputs.sort(key=lambda o: order.get(o.request_id, 1 << 30))
         return outputs
+
+    def warmup(self) -> None:
+        """Pre-execute every compiled surface a serving deployment hits.
+
+        The vLLM analog captures CUDA graphs for all batch sizes at worker
+        init (velocity/worker.py); here the lazily-compiled population is
+        the (prompt bucket x wave size) prefill jits, the decode chunk, and
+        the harvest's gather/scatter helpers.  On this chip the compile
+        service is REMOTE: a first-hit shape inside Engine.step costs 1-13 s
+        of blocked stepping (trace + cache-hit deserialization + first-
+        execution load over the tunnel) - measured as the BENCH_r04
+        "service collapse", where a mid-deployment admission wave of a new
+        (bucket, wave) shape froze all concurrent streams for ~13 s while
+        holding the serving mutex.  Running one dummy wave per combo at
+        startup moves that cost out of the request path.
+
+        Each wave: exactly ``w`` requests whose prompt lands in the target
+        bucket, ``max_new=1`` (the chunk's while_loop exits after one
+        step), device-streaming callbacks on up to ``max_stream_slots`` of
+        them (warms the streaming harvest path) and plain outputs on the
+        rest (warms the finish-gather path).
+
+        Compiles run AHEAD of the dummy waves via the AOT path
+        (``lower().compile()``) on a thread pool: the expensive leg is the
+        REMOTE compile RPC (measured 6-15 s per prefill variant, GIL
+        released while waiting), so 8-wide parallelism turns ~16 serial
+        compiles into ~2 rounds.  The compiled executables then REPLACE
+        the lazy jit wrappers (same signature, donation preserved) so the
+        real serving path runs exactly what warmup loaded."""
+        ecfg = self.ecfg
+        nvq = self.cfg.num_vq
+        if self.mesh is None:
+            self._aot_compile()
+        prev_len = 0
+        for b in ecfg.buckets:
+            plen = max(1, prev_len + 1)  # smallest length mapping to b
+            prev_len = b
+            for w in self._wave_sizes:
+                cap = ecfg.max_stream_slots
+                reqs = []
+                for i in range(w):
+                    stream = (self.ecfg.collect_hidden
+                              and (cap is None or i < cap))
+                    reqs.append(EngineRequest(
+                        request_id=f"warmup-{b}-{w}-{i}",
+                        ids=np.zeros((plen, nvq), np.int32),
+                        text_mask=np.ones((plen,), bool),
+                        temperature=np.ones((nvq,), np.float32),
+                        min_new=1, max_new=1, seed=0,
+                        on_tokens=(lambda *a: None) if stream else None,
+                        stream_hiddens_dev=stream,
+                        ensure_non_empty=False))
+                self.generate(reqs)
+        # the remaining one-compile helpers (abort/preempt scatter)
+        _mask_off_one(self.state.active, jnp.int32(0))
+        for k in self.stats:
+            self.stats[k] = 0
+        self.stats.pop("peak_slots", None)
+        self._lat_queue.clear()
+        self._lat_first.clear()
+
+    def _aot_compile(self, parallel: int = 8) -> None:
+        """Ahead-of-time compile every prefill variant + the chunk fn,
+        with the remote compile RPCs in flight concurrently."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def absify(tree):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.asarray(x).dtype), tree)
+
+        gp_a, ep_a = absify(self.gpt_params), absify(self.embed_params)
+        pk_a, st_a = absify(self._packed), absify(self.state)
+        nvq = self.cfg.num_vq
+        D = self.cfg.hidden_size
+        lowered = {}
+        for (Tpb, W), fn in self._prefill.items():
+            if isinstance(fn, jax.stages.Compiled):
+                continue  # shared kernel dict: another engine warmed it
+            ints = jax.ShapeDtypeStruct((W * (3 + Tpb * (nvq + 2)),),
+                                        jnp.int32)
+            floats = jax.ShapeDtypeStruct((W * (D + 9 + nvq),), jnp.float32)
+            # tracing is GIL-bound - serial; the compile RPC parallelizes
+            lowered[(Tpb, W)] = fn.lower(gp_a, ep_a, pk_a, st_a, ints,
+                                         floats)
+        chunk_lowered = None
+        if not isinstance(self._chunk, jax.stages.Compiled):
+            chunk_lowered = self._chunk.lower(
+                gp_a, ep_a, pk_a, st_a,
+                jax.ShapeDtypeStruct((), jnp.int32))
+        with ThreadPoolExecutor(max_workers=parallel) as ex:
+            futs = {k: ex.submit(lo.compile) for k, lo in lowered.items()}
+            cf = (ex.submit(chunk_lowered.compile)
+                  if chunk_lowered is not None else None)
+            for k, f in futs.items():
+                self._prefill[k] = f.result()
+            if cf is not None:
+                self._chunk = cf.result()
 
     # -- internals -----------------------------------------------------
 
@@ -1106,7 +1251,7 @@ class Engine:
                            else np.concatenate([prev, new_ids]))
         self.slots[s] = None
         self.state = self.state._replace(
-            active=self.state.active.at[s].set(False))
+            active=_mask_off_one(self.state.active, jnp.int32(s)))
         # requeue at the BACK: the freed slot goes to the waiting head and
         # long requests round-robin in preempt_after_chunks time slices
         # (each admission runs at least that long, so progress is guaranteed)
@@ -1169,9 +1314,16 @@ class Engine:
             # (S, need, D) read taxed every host-streamer with the whole
             # engine's hiddens - a 16x overfetch at capacity shape);
             # prefix-stable even with a speculative chunk in flight (writes
-            # append at positions >= the statused counts for live slots)
-            hid_np = np.asarray(
-                st.hiddens[np.asarray(need_rows), :need_hid])
+            # append at positions >= the statused counts for live slots).
+            # Rows pad to a power of two and the prefix length rounds up
+            # likewise (<= 2x overfetch) so the gather's compiled-shape
+            # population stays log-bounded instead of one per (occupancy,
+            # progress) pair - each first-hit shape costs a ~0.5-1 s
+            # remote compile that would stall Engine.step mid-serving.
+            nb = min(1 << max(need_hid - 1, 0).bit_length(),
+                     st.hiddens.shape[1])
+            hid_np = np.asarray(_gather_rows_prefix(
+                st.hiddens, jnp.asarray(_pow2_pad(need_rows)), nb))
             hid_row = {s: i for i, s in enumerate(need_rows)}
         dev_gather: List = []  # (output_index, slot, total) finishing slots
         for s, req in enumerate(self.slots):
@@ -1210,8 +1362,10 @@ class Engine:
                         # avoids a per-length eager-dispatch compile every
                         # chunk.  Rows >= the request's kept count hold
                         # garbage; consumers track the true length from the
-                        # id counts and mask beyond it.
-                        new_hid = st.hiddens[s]
+                        # id counts and mask beyond it.  Traced slot index:
+                        # buf[s] would compile once PER SLOT (~0.5-1 s
+                        # remote compiles stalling early serving steps).
+                        new_hid = _slot_row(st.hiddens, jnp.int32(s))
                     else:
                         new_hid = (hid_np[hid_row[s], lo:n] if n > lo
                                    else np.zeros((0, st.hiddens.shape[-1]),
@@ -1275,11 +1429,16 @@ class Engine:
             # one batched scatter for every slot released this harvest: the
             # per-slot ``.at[s].set`` eager dispatches each paid a ~3-8 ms
             # host-link round trip (device-trace finding: 8 finishing slots
-            # cost ~25-40 ms of device idle in the harvest tail)
+            # cost ~25-40 ms of device idle in the harvest tail).  Power-of-
+            # two padding (duplicate False writes are idempotent) bounds the
+            # compiled scatter shapes.
             self.state = self.state._replace(
-                active=self.state.active.at[np.asarray(freed)].set(False))
+                active=_mask_off_rows(self.state.active,
+                                      jnp.asarray(_pow2_pad(freed))))
         if dev_gather:
-            hb = st.hiddens[jnp.asarray([s for _, s, _ in dev_gather])]
+            hb = _gather_rows(
+                st.hiddens,
+                jnp.asarray(_pow2_pad([s for _, s, _ in dev_gather])))
             for row, (oi, _, n) in enumerate(dev_gather):
                 outputs[oi]._hb = hb
                 outputs[oi]._hb_row = row

@@ -22,6 +22,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
+import time
 import uuid
 from typing import Iterator, List, Optional
 
@@ -85,7 +86,7 @@ class TTSService:
     requests that route to the facade's private "fast" tier are safe).
     """
 
-    def __init__(self, chat: Chat):
+    def __init__(self, chat: Chat, warmup: Optional[bool] = None):
         if not chat.has_loaded():
             raise ValueError("Chat must be loaded")
         self.chat = chat
@@ -97,6 +98,17 @@ class TTSService:
         # too - Engine is not thread-safe, and re-scanning the tier dict
         # would also race its mutation.
         self._engs = [chat._engine_for_code(), chat._engine_for_text()]
+        if warmup is None:
+            # default ON where it matters: TPU's compile service is remote,
+            # so a first-hit (bucket, wave) admission shape inside a serving
+            # step blocks every concurrent stream for 1-13 s (the BENCH_r04
+            # collapse).  CPU compiles are local and cheap - tests skip.
+            import jax
+
+            warmup = jax.default_backend() == "tpu"
+        if warmup:
+            for eng in self._engs:
+                eng.warmup()
         self._mu = threading.Lock()      # guards both engines + pending map
         self._work = threading.Event()
         # rid -> (mailbox, owning engine): failures are scoped per engine
@@ -118,8 +130,18 @@ class TTSService:
         return self._engs
 
     def _drive(self):
+        was_busy = False
         while not self._stop:
             self._work.wait(timeout=0.25)
+            if not was_busy and self._work.is_set() and not self._stop:
+                # admission coalescing at the idle->busy transition: a wave
+                # of concurrent submissions (the serving norm - N clients
+                # fire together) lands in ONE prefill wave instead of the
+                # first racer taking a solo chunk that delays the rest by
+                # two chunk quanta (~140 ms measured, probe v2).  Costs the
+                # first racer ~4 ms; the steady-state busy loop never
+                # sleeps (was_busy short-circuits).
+                time.sleep(0.004)
             busy = False
             with self._mu:
                 for eng in self._engines():
@@ -150,6 +172,7 @@ class TTSService:
                             entry[0].put(o)
                 if not busy:
                     self._work.clear()
+            was_busy = busy
 
     def stats(self) -> dict:
         """Live service snapshot: per-engine occupancy + rolling latency

@@ -401,6 +401,25 @@ def test_engine_with_fused_step_kernel(monkeypatch):
         bat._build_kernels.cache_clear()
 
 
+def test_engine_warmup(tiny_config, params):
+    """Engine.warmup pre-executes every (bucket, wave) prefill combo plus
+    the chunk/harvest paths (the vLLM capture-at-init analog) and leaves
+    the engine CLEAN: empty slots/queues, zeroed stats, and bit-identical
+    subsequent generations vs a cold engine (warmup must not perturb seeded
+    request results - slot RNG is keyed per request, not engine history)."""
+    cfg = tiny_config.gpt
+    cold = _mk_engine(tiny_config, params)
+    base = cold.generate([_req(cfg, "w0", min_new=6, max_new=6, seed=11)])
+
+    warm = _mk_engine(tiny_config, params)
+    warm.warmup()
+    assert all(r is None for r in warm.slots) and not warm.waiting
+    assert warm.stats["requests_finished"] == 0
+    assert warm.latency_stats() == {}
+    outs = warm.generate([_req(cfg, "w0", min_new=6, max_new=6, seed=11)])
+    np.testing.assert_array_equal(outs[0].ids, base[0].ids)
+
+
 def test_engine_64_slot_kv4_config(monkeypatch):
     """Pin the documented slot-count-over-throughput configuration: a
     64-slot fused engine with the int4 KV cache compiles and generates

@@ -110,7 +110,10 @@ def main():
                 ttfa = time.perf_counter() - t0
         return time.perf_counter() - t0, ttfa
 
-    svc = TTSService(chat)
+    t0 = time.perf_counter()
+    svc = TTSService(chat)  # auto-warms its engines on TPU
+    log(f"TTSService construction (incl. engine warmup): "
+        f"{time.perf_counter() - t0:.1f}s")
     try:
         log("== warmup ==")
         w, tt, _ = run_service(svc)
@@ -119,8 +122,8 @@ def main():
 
         span_report()  # clear warmup spans
         eng = chat._engine_for_code()
-        log("== warm-service arm (16 runs, interleaved weather control) ==")
-        for i in range(16):
+        log("== warm-service arm (12 runs, interleaved weather control) ==")
+        for i in range(12):
             n0_q, n0_f = len(eng._lat_queue), len(eng._lat_first)
             wall, tt, _ = run_service(svc)
             new_q = [f"{v*1e3:.0f}" for v in list(eng._lat_queue)[n0_q:]]
