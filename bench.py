@@ -206,6 +206,18 @@ def main():
             log(f"service run {i}: wall={wall:.3f}s ttfa_p50={p50 * 1e3:.0f}ms "
                 f"agg steps/s={agg:.0f}")
             runs.append((agg, p50))
+        # production observability snapshot (Engine.latency_stats wired
+        # through TTSService.stats and /health): queue-delay and first-
+        # emission percentiles make a serving collapse visible outside
+        # benches too
+        snap = svc.stats()["code"]
+        log("service stats: queue p50=%.0fms max=%.0fms, first-emit "
+            "p50=%.0fms max=%.0fms (n=%d)" % (
+                snap.get("queue_delay_p50_s", 0) * 1e3,
+                snap.get("queue_delay_max_s", 0) * 1e3,
+                snap.get("first_emission_p50_s", 0) * 1e3,
+                snap.get("first_emission_max_s", 0) * 1e3,
+                snap.get("first_emission_n", 0)))
     finally:
         svc.close()
     aggs = sorted(a for a, _ in runs)
