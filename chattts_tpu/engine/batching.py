@@ -973,7 +973,17 @@ class Engine:
                 and any(r is not None for r in self.slots)
                 and not (self.ecfg.collect_hidden and any(
                     r is not None and r.on_tokens is not None
-                    and not r.stream_hiddens_dev for r in self.slots))):
+                    and not r.stream_hiddens_dev for r in self.slots))
+                # ALSO hold speculation while any device-streaming slot has
+                # yet to emit its first window: the consumer's first window
+                # vocode dispatches right after this harvest, and a
+                # speculative chunk already in the device queue would delay
+                # it by a full chunk's compute (~24 ms of the concurrent-
+                # stream TTFA).  After first emissions, steady-state yields
+                # want the status round trip hidden again - resume.
+                and not any(r is not None and r.stream_hiddens_dev
+                            and r.on_tokens is not None
+                            and not r._first_done for r in self.slots)):
             self._spec = self._dispatch_chunk(long_chunk)
         self._ingest(np.asarray(status))  # ONE host read per chunk
         self.stats["steps"] += int(self._status[6, 0])

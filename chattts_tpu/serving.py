@@ -321,19 +321,7 @@ class TTSService:
         rt = c.config.runtime
         inc_q = _IncQueue()
         count = [0]
-
-        def on_tokens(rid, new_ids, new_hid, finished):
-            # new_hid is the FULL (max_new, D) device hiddens row; the true
-            # kept length rides the id counts (no device sync needed)
-            if new_ids is not None:
-                count[0] += new_ids.shape[0]
-            inc_q.put((new_hid, count[0], finished))
-
-        reqs = self._code_reqs([text], params, on_tokens=on_tokens)
-        for r in reqs:
-            r.stream_hiddens_dev = True
-        rid = reqs[0].request_id
-        self._submit(c._engine_for_code(), reqs)
+        first_spec = [rt.stream_window_ahead]
 
         from .engine.streaming import EmissionPacer
 
@@ -342,6 +330,34 @@ class TTSService:
                                       async_windows=defer)
         pacer = EmissionPacer(1, params.pass_first_n_batches,
                               params.stream_speed, rt.wire_int16)
+
+        def on_tokens(rid, new_ids, new_hid, finished):
+            # new_hid is the FULL (max_new, D) device hiddens row; the true
+            # kept length rides the id counts (no device sync needed)
+            if new_ids is not None:
+                count[0] += new_ids.shape[0]
+            if first_spec[0] and new_hid is not None and count[0] \
+                    and not finished:
+                # dispatch the FIRST emission's window vocode + async PCM
+                # copy HERE, in the engine driver thread at harvest time -
+                # before the driver dispatches the next decode chunk.  The
+                # consumer thread then materializes a window that is
+                # already computing instead of racing the next chunk for
+                # the device queue (measured: the race is bimodal, +50 ms
+                # on the losing side).  First increment only: the consumer
+                # is still blocked on the queue, so touching the decoder
+                # from this thread cannot race it (exactness contract:
+                # speculate_window entries are consumed only on an exact
+                # (emitted, lo, hi, pad_left) key match).
+                first_spec[0] = False
+                sd.speculate_window(new_hid[None], count[0])
+            inc_q.put((new_hid, count[0], finished))
+
+        reqs = self._code_reqs([text], params, on_tokens=on_tokens)
+        for r in reqs:
+            r.stream_hiddens_dev = True
+        rid = reqs[0].request_id
+        self._submit(c._engine_for_code(), reqs)
         cum = None
         n = 0
         finished = False

@@ -1136,6 +1136,32 @@ def test_speculation_streaming_equivalence(tiny_config, params):
         np.testing.assert_array_equal(ids, runs[False][1][rid])
 
 
+def test_speculation_held_until_first_stream_emission(tiny_config, params):
+    """Dispatch-ahead is HELD while a device-streaming slot has not yet
+    emitted its first window (the consumer's first window vocode dispatches
+    right after that harvest; a speculative chunk in the device queue would
+    delay it by a full chunk's compute — the concurrent-stream TTFA lever,
+    PERF.md round 5 probe v6/v7), then resumes for steady-state yields."""
+    cfg = tiny_config.gpt
+    eng = _mk_engine(tiny_config, params, chunk_steps=2, speculate=True)
+    emissions = []
+    r = _req(cfg, "hold", min_new=8, max_new=8, seed=3,
+             on_tokens=lambda rid, ids, hid, fin: emissions.append(fin),
+             stream_hiddens_dev=True)
+    eng.add_request(r)
+    eng.step()
+    # first chunk harvested (first emission just delivered) - the hold must
+    # have kept the device queue empty for the consumer's window vocode
+    assert emissions and r._first_done
+    assert eng._spec is None
+    eng.step()
+    # steady state: dispatch-ahead resumes to hide the status round trip
+    assert eng._spec is not None
+    while eng.has_unfinished():
+        eng.step()
+    assert emissions[-1] is True
+
+
 def test_host_slot_key_matches_jax_fold_in():
     """The engine's host-derived slot key MUST be bit-identical to the
     generator's jax derivation (PRNGKey(seed) + fold_in(attempt)): the
