@@ -1105,11 +1105,13 @@ class Chat:
           cadence.  Device-streaming slots are capped at 14 so saturating
           streams (the service's normal shape) leave preemptable slots for
           queued work (starvation bound).
-        * ``"wide"`` - 32 slots, the saturated OFFLINE throughput peak
-          (PERF.md round 4: 32 fused kv8+w8 measured 11.6k steps/s = 46.5k
-          speech tokens/s/chip vs 10.7k at 16; only reachable through the
-          megakernel's flat int8-kv layout - XLA's padded bf16 cache OOMs
-          at this shape).  Per-chunk-step latency is ~2.75 ms vs 1.49 at
+        * ``"wide"`` - 32 slots for saturated OFFLINE work: equal
+          aggregate throughput to the 16-slot tier at 2x the concurrent
+          capacity (alternating same-process A/B median ratio 0.998,
+          PERF.md round 5 - queued requests wait half as long; only
+          reachable through the megakernel's flat int8-kv layout, XLA's
+          padded bf16 cache OOMs at this shape).  Per-chunk-step latency
+          is ~2.75 ms vs 1.49 at
           16 slots, which doubles the streaming scheduling quantum - hence
           a separate tier for bulk work rather than widening "capacity"
           (the latency A/B VERDICT r4 weak #2 asked for).  Requires a

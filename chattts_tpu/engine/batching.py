@@ -750,10 +750,11 @@ def fused_slot_limit(cfg: GPTConfig) -> int:
     the gate default is 32 WITH a quantized KV cache (round 4): wide
     batches raise the kernel's scoped-VMEM limit (ops/pallas_step
     CompilerParams) and the int8-kv chunks halve the per-position VMEM
-    cost - measured 32 x 384 fused kv8+w8 11.6k steps/s (46.5k speech
-    tokens/s), vs 10.7k at 16 slots.  With a bf16 cache
+    cost - 32 x 384 fused kv8+w8 matches the 16-slot tier's aggregate
+    throughput (~10.8k steps/s, alternating A/B ratio 0.998, PERF.md
+    round 5) at 2x the concurrent capacity.  With a bf16 cache
     (CHATTTS_KV_INT8=0) the default falls back to 16: round 3 measured
-    the bf16 fused kernel LOSING to XLA past 16 slots, and the 11.6k
+    the bf16 fused kernel LOSING to XLA past 16 slots, and the wide
     justification was kv8-only (advisor r4).  Note the 32-slot XLA
     alternative cannot exist on one chip either way: its (S, T, H, Dh)
     cache lane-pads Dh 64 -> 128 (2.7x = 12.8 GB at 32 x 2560, XLA

@@ -619,3 +619,22 @@ def test_use_engine_stream_defer_equivalence(engine_chat, monkeypatch):
     b = outs[False][np.abs(outs[False]) > 1e-5]
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_cpu_compile_cache_is_machine_keyed():
+    """CPU XLA executables bake in the compile host's ISA features; a cache
+    dir shared across machines loads foreign executables whose numerics can
+    differ from fresh compiles (observed: near-tie sampled-token flips).
+    The package must route CPU-platform runs to a per-machine subdir."""
+    import jax as _jax
+
+    import chattts_tpu as _pkg
+
+    d = _jax.config.jax_compilation_cache_dir
+    # conftest sets JAX_PLATFORMS=cpu before the package import, so this
+    # test process must be using the machine-keyed subdir
+    assert d is not None and "/cpu-" in d.replace("\\", "/")
+    key = _pkg._cpu_cache_key()
+    assert d.endswith("cpu-" + key)
+    assert len(key) == 12 and all(c in "0123456789abcdef" for c in key)
+    assert _pkg._cpu_cache_key() == key  # stable within a host
