@@ -1154,6 +1154,19 @@ class Chat:
         engines = getattr(self, "_code_engines", None)
         if engines is None:
             engines = self._code_engines = {}
+        if tier == "wide":
+            from .engine import batching
+
+            # same gate the router applies, for DIRECT tier requests too:
+            # without a quantized KV cache the fused kernel caps at 16
+            # slots and a 32-slot engine would take the XLA path, whose
+            # padded bf16 cache OOMs one chip (PERF.md round 4) - fall
+            # back instead of building a time bomb
+            if batching.fused_slot_limit(self.config.gpt) < 32:
+                self.logger.warning(
+                    "wide tier requires the fused kernel at 32 slots "
+                    "(quantized KV cache); falling back to capacity")
+                tier = "capacity"
         if tier not in engines:
             from .engine.batching import Engine
 

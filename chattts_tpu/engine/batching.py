@@ -398,7 +398,12 @@ def _state_specs(cfg: GPTConfig, ecfg: EngineConfig):
 
 @functools.lru_cache(maxsize=8)
 def _build_kernels(cfg: GPTConfig, ecfg: EngineConfig, fused: bool = False,
-                   kvb: int = 0):
+                   kvb: int = 0, sharded: bool = False):
+    # ``sharded`` is cache-key-only: mesh engines must NOT share a prefill
+    # dict with single-chip ones — Engine.warmup's _aot_compile replaces
+    # the dict's retrace-capable jit wrappers with jax.stages.Compiled
+    # executables specialized to unsharded arguments, which cannot retrace
+    # for mesh-sharded state.
     S, Tp, Tc = ecfg.max_num_seqs, ecfg.max_prompt_len, ecfg.cache_len
     num_vq = cfg.num_vq
     HD = cfg.num_attention_heads * cfg.head_dim
@@ -731,6 +736,11 @@ def _gather_rows_prefix(buf, rows, n):
     return buf[rows, :n]
 
 
+def _pow2ceil(n: int) -> int:
+    """Smallest power of two >= n (>= 1)."""
+    return 1 << max(n - 1, 0).bit_length()
+
+
 def _pow2_pad(idx: List[int]) -> np.ndarray:
     """Pad an index list to the next power-of-two length by repeating its
     first entry.  Duplicate rows are harmless everywhere this is used
@@ -738,8 +748,7 @@ def _pow2_pad(idx: List[int]) -> np.ndarray:
     caps the distinct compiled gather/scatter shapes at log2(slots)+1
     instead of one per occupancy count."""
     n = len(idx)
-    m = 1 << max(n - 1, 0).bit_length()
-    return np.asarray(idx + [idx[0]] * (m - n), np.int32)
+    return np.asarray(idx + [idx[0]] * (_pow2ceil(n) - n), np.int32)
 
 
 def fused_slot_limit(cfg: GPTConfig) -> int:
@@ -831,9 +840,9 @@ class Engine:
         self.gpt_params = gpt_params
         self.embed_params = embed_params
         self.spk_emb_ids = spk_emb_ids
-        self._prefill, self._chunk = _build_kernels(cfg, ecfg,
-                                                     fused=self._fused,
-                                                     kvb=self._kvb)
+        self._prefill, self._chunk = _build_kernels(
+            cfg, ecfg, fused=self._fused, kvb=self._kvb,
+            sharded=mesh is not None)
         self._wave_sizes = sorted({w for _, w in self._prefill})
         self.waiting: collections.deque[EngineRequest] = collections.deque()
         self.slots: List[Optional[EngineRequest]] = [None] * ecfg.max_num_seqs
@@ -1331,8 +1340,7 @@ class Engine:
             # population stays log-bounded instead of one per (occupancy,
             # progress) pair - each first-hit shape costs a ~0.5-1 s
             # remote compile that would stall Engine.step mid-serving.
-            nb = min(1 << max(need_hid - 1, 0).bit_length(),
-                     st.hiddens.shape[1])
+            nb = min(_pow2ceil(need_hid), st.hiddens.shape[1])
             hid_np = np.asarray(_gather_rows_prefix(
                 st.hiddens, jnp.asarray(_pow2_pad(need_rows)), nb))
             hid_row = {s: i for i, s in enumerate(need_rows)}

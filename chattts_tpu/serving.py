@@ -179,16 +179,22 @@ class TTSService:
         percentiles (Engine.latency_stats) so serving collapses are
         observable in production (reference analog: record_metrics-style
         logging, velocity/llm_engine.py:667-740)."""
-        snap: dict = {"peak_slots": self.max_concurrent_slots,
-                      "pending": len(self._pending)}
-        for eng in self._engines():
-            key = "text" if eng.ecfg.infer_text else "code"
-            snap[key] = {
-                "slots_busy": sum(r is not None for r in eng.slots),
-                "slots": eng.ecfg.max_num_seqs,
-                "waiting": len(eng.waiting),
-                **eng.stats, **eng.latency_stats()}
-        return snap
+        # under _mu: the driver thread appends to the engines' latency
+        # deques and lazily inserts stats keys inside step() (also under
+        # _mu) - an unlocked snapshot intermittently dies with "deque
+        # mutated during iteration" exactly when /health matters (under
+        # load).  Costs at most one chunk quantum of wait.
+        with self._mu:
+            snap: dict = {"peak_slots": self.max_concurrent_slots,
+                          "pending": len(self._pending)}
+            for eng in self._engines():
+                key = "text" if eng.ecfg.infer_text else "code"
+                snap[key] = {
+                    "slots_busy": sum(r is not None for r in eng.slots),
+                    "slots": eng.ecfg.max_num_seqs,
+                    "waiting": len(eng.waiting),
+                    **eng.stats, **eng.latency_stats()}
+            return snap
 
     def abort(self, request_id: str) -> bool:
         """Drop ONE queued or running request (engine ``abort_request``

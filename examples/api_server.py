@@ -243,8 +243,13 @@ class Handler(BaseHTTPRequestHandler):
                 for chunk in gen:
                     self._stream_chunk(pcm16_bytes(chunk[0]))
                 self.wfile.write(b"0\r\n\r\n")
-            except Exception as e:  # noqa: BLE001
+            except (BrokenPipeError, ConnectionError) as e:
+                # routine consumer disconnect - not a server failure
                 logger.info("stream client gone: %s", e)
+            except Exception:  # noqa: BLE001 - synthesis/engine failure:
+                # the client gets a truncated body (no terminal chunk);
+                # the server must record it as an ERROR, not a disconnect
+                logger.exception("stream failed mid-response")
             finally:
                 # client disconnect mid-stream: closing the generator fires
                 # its abort path, freeing the engine slot immediately

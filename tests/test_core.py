@@ -229,6 +229,10 @@ def test_engine_tier_routing(engine_chat, monkeypatch):
     assert c._code_engine_geometry("wide").max_num_seqs == 32
     monkeypatch.setattr(bat, "fused_slot_limit", lambda cfg: 16)
     assert c._code_tier_for(24, max_new=2048, prompt_len=8) == "capacity"
+    # DIRECT tier requests fall back too: _engine_for_code('wide') on a
+    # bf16-cache build must not construct the 32-slot XLA engine (it
+    # HBM-OOMs on one chip) - it returns the capacity engine instead
+    assert c._engine_for_code("wide") is c._engine_for_code("capacity")
     monkeypatch.undo()  # building engines needs the real (CPU: 0) gate
     # the auto entry point builds the decided tier
     eng = c._engine_for_code_auto(12, max_new=2048, prompt_len=8)
