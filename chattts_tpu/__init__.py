@@ -17,30 +17,51 @@ import jax as _jax
 # CHATTTS_NO_COMPILE_CACHE=1.
 #
 # CPU runs (tests, multichip dryruns) get a cache dir KEYED BY THE HOST'S
-# ISA FEATURES: XLA:CPU AOT executables bake in the compile machine's
-# instruction-set features, and loading an executable cached by a different
+# CPU IDENTITY: XLA:CPU AOT executables bake in the compile machine's
+# target features, and loading an executable cached by a different
 # machine can codegen differently (cpu_aot_loader warns about exactly this,
 # up to SIGILL) — which showed up as one-in-N sampled-token flips in the
 # engine's preemption/exactness tests when the repo's `.jax_cache/` crossed
-# VMs. Same-machine runs stay warm; a new machine starts cold instead of
-# loading foreign executables. TPU executables come from the remote compile
-# service (machine-independent) and keep the shared dir.
+# VMs. The key hashes the ISA flags AND the family/model/stepping lines AND
+# the jaxlib version: LLVM derives tuning features (+prefer-no-gather,
+# +prefer-no-scatter) from the CPU *model*, not from cpuinfo flags, so two
+# VMs with identical flag strings can still bake incompatible executables
+# (observed: foreign-feature AOT loads inside a flags-keyed dir flipping
+# near-tie sampled tokens via a different FP reduction order). Same-machine
+# runs stay warm; a new machine starts cold instead of loading foreign
+# executables. TPU executables come from the remote compile service
+# (machine-independent) and keep the shared dir.
 
 
-def _cpu_cache_key() -> str:
+def _cpu_cache_key(cpuinfo_text=None) -> str:
     import hashlib
     import platform as _platform
 
-    feat = _platform.machine()
+    feat = [_platform.machine()]
     try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    feat += " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+        import jaxlib
+
+        feat.append(getattr(jaxlib, "__version__", ""))
+    except Exception:  # noqa: BLE001
+        pass
+    want = ("flags", "Features", "vendor_id", "cpu family", "model",
+            "model name", "stepping", "CPU implementer", "CPU part")
+    seen = set()
+    try:
+        if cpuinfo_text is None:
+            with open("/proc/cpuinfo") as f:
+                cpuinfo_text = f.read()
+        for line in cpuinfo_text.splitlines():
+            key = line.split(":", 1)[0].strip()
+            if key in want and key not in seen and ":" in line:
+                seen.add(key)
+                val = line.split(":", 1)[1].split()
+                feat.append(key + "=" + " ".join(sorted(val)))
+            if seen and (len(seen) == len(want) or not line.strip()):
+                break  # first processor block only
     except OSError:
-        feat += _platform.processor()
-    return hashlib.sha256(feat.encode()).hexdigest()[:12]
+        feat.append(_platform.processor())
+    return hashlib.sha256("|".join(feat).encode()).hexdigest()[:12]
 
 
 _plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()

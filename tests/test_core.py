@@ -642,3 +642,13 @@ def test_cpu_compile_cache_is_machine_keyed():
     assert d.endswith("cpu-" + key)
     assert len(key) == 12 and all(c in "0123456789abcdef" for c in key)
     assert _pkg._cpu_cache_key() == key  # stable within a host
+    # the key must separate hosts that differ ONLY in CPU model, not ISA
+    # flags: LLVM picks tuning features (+prefer-no-gather/scatter) from
+    # the model, so flag-identical VMs bake incompatible executables
+    # (observed as foreign-feature AOT loads flipping near-tie samples)
+    a = "flags\t: avx512f amx\nmodel\t\t: 143\nstepping\t: 4\n"
+    b = "flags\t: avx512f amx\nmodel\t\t: 207\nstepping\t: 4\n"
+    assert _pkg._cpu_cache_key(a) != _pkg._cpu_cache_key(b)
+    assert _pkg._cpu_cache_key(a) == _pkg._cpu_cache_key(a)
+    # and only the FIRST processor block matters (per-core dup lines)
+    assert _pkg._cpu_cache_key(a + "\n" + b) == _pkg._cpu_cache_key(a)
