@@ -198,7 +198,10 @@ def main():
     # of that shape land in the headline numbers, not the footnotes.
     runs = []
     try:
-        run_service()  # warmup (streaming window shapes)
+        svc.warmup_stream(sp)  # bench-cadence window jits (stream_batch=16)
+        run_service()          # concurrency warmup (4-wave admission)
+        for eng in svc._engines():
+            eng.reset_stats()  # percentiles below = measured traffic only
         for i in range(6):
             wall, tt, slowest = run_service()
             p50 = tt[len(tt) // 2] if tt else float("nan")

@@ -1090,11 +1090,7 @@ class Engine:
                 self.generate(reqs)
         # the remaining one-compile helpers (abort/preempt scatter)
         _mask_off_one(self.state.active, jnp.int32(0))
-        for k in self.stats:
-            self.stats[k] = 0
-        self.stats.pop("peak_slots", None)
-        self._lat_queue.clear()
-        self._lat_first.clear()
+        self.reset_stats()
 
     def _aot_compile(self, parallel: int = 8) -> None:
         """Ahead-of-time compile every prefill variant + the chunk fn,
@@ -1499,3 +1495,16 @@ class Engine:
             self.stats["requests_finished"], self.stats["tokens_generated"],
             lat.get("queue_delay_p50_s", 0.0) * 1e3,
             lat.get("first_emission_p50_s", 0.0) * 1e3)
+
+    def reset_stats(self) -> None:
+        """Zero the counters and drop the latency windows, so production
+        percentiles measure real traffic rather than warmup requests
+        (``warmup``/``TTSService.warmup_stream`` call this when done).
+        NOTE: defined at the END of this file on purpose — the persistent
+        compile cache keys jaxprs by source location, so edits above the
+        traced kernels re-pay their remote TPU compiles (CLAUDE.md)."""
+        for k in self.stats:
+            self.stats[k] = 0
+        self.stats.pop("peak_slots", None)
+        self._lat_queue.clear()
+        self._lat_first.clear()

@@ -118,6 +118,41 @@ class TTSService:
         self._driver = threading.Thread(target=self._drive, daemon=True,
                                         name="tts-engine-driver")
         self._driver.start()
+        if warmup:
+            self.warmup_stream()
+
+    def warmup_stream(self,
+                      params_code: Optional[Chat.InferCodeParams] = None,
+                      ) -> None:
+        """Run ONE short synthetic stream end-to-end, then reset stats.
+
+        ``Engine.warmup`` covers the engine's compiled population (prefill
+        waves + decode chunk), but the STREAMING surface has its own:
+        the per-``stream_batch`` window vocoder, the deferred-PCM fetch
+        jits and the pacer's final-flush shapes all live in the decode/
+        vocode layer and compile on the first real stream — measured as a
+        ~4.5 s first-emission outlier on a freshly constructed service
+        (engine-warm, stream-cold).  Construction runs this with DEFAULT
+        cadence params; deployments using a custom ``stream_batch``/
+        ``stream_speed`` should call it once with those params at startup
+        (each distinct ``stream_batch`` is a distinct window jit).
+        Latency windows and counters reset afterwards so production
+        percentiles measure real traffic only (vLLM's profile-run analog:
+        velocity/worker.py:91-123 sizes caches with a dummy forward at
+        init for the same keep-it-out-of-the-request-path reason)."""
+        p = params_code or Chat.InferCodeParams(show_tqdm=False)
+        import dataclasses
+
+        # 96 steps: enough for the withheld first yields AND >= one
+        # mid-stream emission window AND the silence-stripped tail flush
+        # at the default cadence, while staying ~100 ms of decode
+        p = dataclasses.replace(p, max_new_token=96, min_new_token=96,
+                                manual_seed=0)
+        for _ in self.synthesize_stream("Warm up the streaming path.", p):
+            pass
+        for eng in self._engines():
+            eng.reset_stats()
+        self.max_concurrent_slots = 0
 
     def close(self):
         self._stop = True

@@ -921,6 +921,34 @@ def test_service_synthesize_stream_device(tiny_config):
         svc.close()
 
 
+def test_service_warmup_stream_resets_stats(tiny_config):
+    """warmup_stream pre-compiles the streaming surface (window vocoder +
+    deferred-PCM jits - the population Engine.warmup does NOT cover) and
+    then resets engine counters/latency windows, so production percentiles
+    measure real traffic only; streams after it stay seed-deterministic."""
+    from chattts_tpu.core import Chat
+    from chattts_tpu.serving import TTSService
+
+    chat = Chat(config=tiny_config)
+    chat.load(source="random", seed=0, use_engine=True)
+    svc = TTSService(chat)  # CPU: construction warmup defaults off
+    try:
+        p = Chat.InferCodeParams(max_new_token=24, min_new_token=24,
+                                 manual_seed=9, stream_batch=4)
+        ref = np.concatenate(list(svc.synthesize_stream("stream me", p)),
+                             axis=1)
+        svc.warmup_stream(p)
+        eng = chat._engine_for_code()
+        assert eng.latency_stats() == {}             # windows dropped
+        assert eng.stats["requests_finished"] == 0   # counters zeroed
+        assert svc.stats()["pending"] == 0           # nothing left queued
+        got = np.concatenate(list(svc.synthesize_stream("stream me", p)),
+                             axis=1)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+    finally:
+        svc.close()
+
+
 def test_service_stream_cadence(tiny_config):
     """synthesize_stream honors the reference cadence (core.py:487-503):
     pass_first_n_batches withholds early yields (they accumulate and emit
