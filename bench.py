@@ -137,22 +137,25 @@ def main():
         return wall, total
 
     def measure_engine(label, eng, n_requests):
+        # median of 3, same honesty rule as the service section below:
+        # best-run selection hid a 2-of-3-run collapse in BENCH_r04
         run_engine(eng, n_requests)  # warmup (compile the slot shapes)
-        best = 0.0
+        tpss = []
         for i in range(3):
             wall, total = run_engine(eng, n_requests)
             tps = total / wall
             log(f"engine[{label}] run {i}: wall={wall:.3f}s "
                 f"steps={total:.0f} steps/s={tps:.0f} "
                 f"(speech tokens/s/chip={tps * 4:.0f})")
-            best = max(best, tps)
-        return best
+            tpss.append(tps)
+        tpss.sort()
+        return tpss[len(tpss) // 2], tpss[-1]
 
     wide_eng = chat._engine_for_code_auto(
         n_requests=32, max_new=STEPS, prompt_len=64)
     log(f"router: 32 requests -> {wide_eng.ecfg.max_num_seqs}-slot tier")
-    eng_tps = measure_engine("wide-32x384", wide_eng, 32)
-    cap_tps = measure_engine(
+    eng_tps, eng_best = measure_engine("wide-32x384", wide_eng, 32)
+    cap_tps, cap_best = measure_engine(
         "capacity-16x384", chat._engine_for_code("capacity"), 16)
 
     # (b) concurrent streaming through TTSService: 4 overlapping clients
@@ -239,6 +242,8 @@ def main():
         "ttfa_ms_default": round(default * 1e3, 1),
         "engine_sat_steps_per_s": round(eng_tps, 1),
         "engine_cap16_steps_per_s": round(cap_tps, 1),
+        "engine_sat_best_steps_per_s": round(eng_best, 1),
+        "engine_cap16_best_steps_per_s": round(cap_best, 1),
         "svc_stream4_steps_per_s": round(svc_tps, 1),
         "svc_stream4_ttfa_p50_ms": round(svc_ttfa * 1e3, 1),
         "svc_stream4_best_steps_per_s": round(aggs[-1], 1),

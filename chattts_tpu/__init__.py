@@ -64,14 +64,31 @@ def _cpu_cache_key(cpuinfo_text=None) -> str:
     return hashlib.sha256("|".join(feat).encode()).hexdigest()[:12]
 
 
+# Platforms whose executables come from a machine-independent compiler
+# (remote compile service / accelerator toolchains) share the top-level
+# cache dir.  CPU — and an UNSET platform, which defaults to CPU on hosts
+# without an accelerator — gets the machine-keyed subdir: assuming shared
+# on "unknown" would load foreign CPU AOT executables, the exact hazard
+# above; assuming machine-keyed merely costs an accelerator host one cold
+# cache fill.  (Callers that flip platforms after import via
+# jax.config.update should set JAX_PLATFORMS in the environment first,
+# as tests/conftest.py does, so this decision sees the real platform.)
+_SHARED_CACHE_PLATFORMS = ("axon", "tpu", "cuda", "rocm", "gpu", "proxy")
+
+
+def _cache_dir_for(plat: str, base: str) -> str:
+    if plat in _SHARED_CACHE_PLATFORMS:
+        return base
+    return _os.path.join(base, "cpu-" + _cpu_cache_key())
+
+
 _plat = _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower()
 if not _os.environ.get("CHATTTS_NO_COMPILE_CACHE"):
-    _cache_dir = _os.environ.get(
-        "CHATTTS_COMPILE_CACHE",
-        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
-                      ".jax_cache"))
-    if _plat == "cpu" and not _os.environ.get("CHATTTS_COMPILE_CACHE"):
-        _cache_dir = _os.path.join(_cache_dir, "cpu-" + _cpu_cache_key())
+    _cache_dir = _os.environ.get("CHATTTS_COMPILE_CACHE")
+    if _cache_dir is None:
+        _cache_dir = _cache_dir_for(
+            _plat, _os.path.join(
+                _os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"))
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -98,6 +98,16 @@ class TTSService:
         # too - Engine is not thread-safe, and re-scanning the tier dict
         # would also race its mutation.
         self._engs = [chat._engine_for_code(), chat._engine_for_text()]
+        # stream_batch values whose window-vocoder jits are known-compiled
+        # in this process (warmup_stream or one completed stream).  The
+        # driver-thread first-window dispatch (see synthesize_stream's
+        # on_tokens) is gated on this: on TPU a COLD window jit is a
+        # 0.5-13 s remote compile, and paying it in the driver thread
+        # under self._mu would freeze every concurrent stream - the exact
+        # stall class Engine.warmup exists to prevent.  A cold cadence's
+        # first stream compiles in its own consumer thread instead
+        # (slower for that one request only) and warms the set.
+        self._warm_windows: set = set()
         if warmup is None:
             # default ON where it matters: TPU's compile service is remote,
             # so a first-hit (bucket, wave) admission shape inside a serving
@@ -150,9 +160,15 @@ class TTSService:
                                 manual_seed=0)
         for _ in self.synthesize_stream("Warm up the streaming path.", p):
             pass
-        for eng in self._engines():
-            eng.reset_stats()
-        self.max_concurrent_slots = 0
+        # under _mu: the driver thread lazily inserts stats keys inside
+        # step() (also under _mu) - resetting concurrently would die with
+        # "dictionary changed size during iteration" and silently wipe
+        # live traffic's counters (README tells deployments to call this
+        # at startup, which may overlap early traffic)
+        with self._mu:
+            for eng in self._engines():
+                eng.reset_stats()
+            self.max_concurrent_slots = 0
 
     def close(self):
         self._stop = True
@@ -389,9 +405,18 @@ class TTSService:
                 # is still blocked on the queue, so touching the decoder
                 # from this thread cannot race it (exactness contract:
                 # speculate_window entries are consumed only on an exact
-                # (emitted, lo, hi, pad_left) key match).
+                # (emitted, lo, hi, pad_left) key match).  first_spec is
+                # consumed HERE even when the warm gate below skips the
+                # dispatch: later increments run concurrently with the
+                # consumer, so the thread-safety argument only holds for
+                # the very first one.
                 first_spec[0] = False
-                sd.speculate_window(new_hid[None], count[0])
+                if params.stream_batch in self._warm_windows:
+                    # cold cadence: the window jit may not be compiled,
+                    # and a remote compile in this thread (under the
+                    # service mutex, via _drive) would freeze every
+                    # concurrent stream - let the consumer thread pay it
+                    sd.speculate_window(new_hid[None], count[0])
             inc_q.put((new_hid, count[0], finished))
 
         reqs = self._code_reqs([text], params, on_tokens=on_tokens)
@@ -412,6 +437,10 @@ class TTSService:
                 # full fixed-shape row: the window jit compiles once; rows
                 # beyond n are garbage but every decode window ends at <= n
                 chunk = sd.update_dev(cum[None], n, final=finished)
+                # window jits for this cadence are compiled now: later
+                # streams may dispatch their first window from the engine
+                # driver thread (see on_tokens) without compile risk
+                self._warm_windows.add(params.stream_batch)
                 emit = pacer.push(chunk, final=finished)
                 if emit is not None:
                     yield emit

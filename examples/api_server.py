@@ -60,6 +60,22 @@ def _resolve_voice(voice) -> str | None:
     return v  # assume portable spk_emb string
 
 
+# Streaming-cadence defaults come from the dataclass (they are tuned over
+# time; stale literals here would silently desynchronize the server from
+# the cadence TTSService warms at construction).
+_DEFAULTS = Chat.InferCodeParams()
+# Each distinct stream_batch is a distinct window-vocoder jit (serving.py
+# warmup_stream); on TPU a new value is a multi-second remote compile.  An
+# open HTTP surface must not let clients mint an unbounded compiled-jit
+# population, so client values snap to this fixed set: the default cadence
+# (warmed at service construction) and the low-latency lever cadence.
+_STREAM_BATCHES = sorted({16, _DEFAULTS.stream_batch})
+
+
+def _snap_stream_batch(v: int) -> int:
+    return min(_STREAM_BATCHES, key=lambda a: (abs(a - v), a))
+
+
 def _params_from(body) -> tuple[Chat.RefineTextParams, Chat.InferCodeParams]:
     p = Chat.InferCodeParams(
         spk_emb=_resolve_voice(body.get("voice") or body.get("spk_emb")),
@@ -68,12 +84,15 @@ def _params_from(body) -> tuple[Chat.RefineTextParams, Chat.InferCodeParams]:
         temperature=float(body.get("temperature", 0.3)),
         top_P=float(body.get("top_p", 0.7)),
         top_K=int(body.get("top_k", 20)),
-        max_new_token=int(body.get("max_new_token", 2048)),
-        min_new_token=int(body.get("min_new_token", 0)),
+        max_new_token=min(int(body.get("max_new_token", 2048)), 2048),
+        min_new_token=max(int(body.get("min_new_token", 0)), 0),
         manual_seed=body.get("manual_seed"),
-        stream_batch=int(body.get("stream_batch", 24)),
-        stream_speed=int(body.get("stream_speed", 12000)),
-        pass_first_n_batches=int(body.get("pass_first_n_batches", 2)),
+        stream_batch=_snap_stream_batch(
+            int(body.get("stream_batch", _DEFAULTS.stream_batch))),
+        stream_speed=min(max(int(body.get(
+            "stream_speed", _DEFAULTS.stream_speed)), 2000), 48000),
+        pass_first_n_batches=min(max(int(body.get(
+            "pass_first_n_batches", _DEFAULTS.pass_first_n_batches)), 0), 8),
     )
     rp = Chat.RefineTextParams(
         prompt=body.get("refine_prompt", ""),

@@ -251,3 +251,28 @@ def test_generate_voice_zip(server):
         assert names == ["0.wav", "1.wav"]
         for n in names:
             assert zf.read(n)[:4] == b"RIFF"
+
+
+def test_params_clamped_to_bounded_jit_population():
+    """The HTTP surface must not let clients mint an unbounded compiled-jit
+    population: each distinct stream_batch is a distinct window-vocoder jit
+    (a multi-second remote compile on TPU), so client values snap to the
+    fixed warmed set, and the streaming-cadence defaults derive from the
+    InferCodeParams dataclass (not stale literals)."""
+    import examples.api_server as api
+    from chattts_tpu.core import Chat
+
+    d = Chat.InferCodeParams()
+    _, p = api._params_from({})
+    assert (p.stream_batch, p.stream_speed, p.pass_first_n_batches) == (
+        d.stream_batch, d.stream_speed, d.pass_first_n_batches)
+    for asked, snapped in [(5, 16), (16, 16), (17, 16), (21, 24),
+                           (24, 24), (1000, 24), (0, 16)]:
+        _, p = api._params_from({"stream_batch": asked})
+        assert p.stream_batch == snapped, (asked, p.stream_batch, snapped)
+    _, p = api._params_from({"max_new_token": 10 ** 9,
+                             "min_new_token": -5,
+                             "stream_speed": 10 ** 9,
+                             "pass_first_n_batches": 99})
+    assert p.max_new_token == 2048 and p.min_new_token == 0
+    assert p.stream_speed == 48000 and p.pass_first_n_batches == 8

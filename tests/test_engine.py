@@ -1223,3 +1223,59 @@ def test_chunk_steps_exceeding_max_rejected():
     accumulator, so the config must refuse it at construction."""
     with pytest.raises(ValueError, match="chunk_steps"):
         EngineConfig(chunk_steps=256, chunk_steps_max=128)
+
+
+def test_service_first_window_dispatch_gated_on_warm_cadence(tiny_config):
+    """The engine-driver-thread first-window dispatch (serving.py
+    on_tokens -> speculate_window) only fires for a stream_batch whose
+    window jits are known-compiled: on TPU a cold window jit is a 0.5-13 s
+    remote compile, and paying it in the driver thread under the service
+    mutex would freeze every concurrent stream (the BENCH_r04 stall class).
+    A cold cadence's first stream compiles in its own consumer thread and
+    warms the set; later streams of that cadence dispatch driver-side."""
+    import threading
+
+    from chattts_tpu.core import Chat
+    from chattts_tpu.serving import TTSService
+
+    chat = Chat(config=tiny_config)
+    chat.load(source="random", seed=0, use_engine=True)
+    svc = TTSService(chat)
+    spec_threads = []
+    orig = Chat._device_stream_decoder
+
+    def wrapped(self, *a, **kw):
+        sd = orig(self, *a, **kw)
+        inner = sd.speculate_window
+
+        def spy(*aa, **kk):
+            spec_threads.append(threading.current_thread().name)
+            return inner(*aa, **kk)
+
+        sd.speculate_window = spy
+        return sd
+
+    Chat._device_stream_decoder = wrapped
+    try:
+        # >1 engine chunk: a request that finishes inside its first
+        # chunk only ever delivers a FINAL increment, which never
+        # dispatches driver-side regardless of warmth
+        p = Chat.InferCodeParams(max_new_token=160, min_new_token=160,
+                                 manual_seed=9, stream_batch=4)
+        assert 4 not in svc._warm_windows
+        ref = np.concatenate(list(svc.synthesize_stream("warm gate", p)),
+                             axis=1)
+        # cold cadence: nothing dispatched from the engine driver thread
+        assert not any(t.startswith("tts-engine-driver")
+                       for t in spec_threads)
+        assert 4 in svc._warm_windows
+        spec_threads.clear()
+        got = np.concatenate(list(svc.synthesize_stream("warm gate", p)),
+                             axis=1)
+        # warm cadence: the first window DID dispatch driver-side, and the
+        # speculation contract keeps the audio bit-identical
+        assert any(t.startswith("tts-engine-driver") for t in spec_threads)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+    finally:
+        Chat._device_stream_decoder = orig
+        svc.close()

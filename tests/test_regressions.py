@@ -99,3 +99,23 @@ def test_pyproject_packages_complete():
     for f in res.iterdir():
         assert any(f.match(g.split("/")[-1]) for g in data
                    if g.startswith("res/")), f.name
+
+
+def test_compile_cache_dir_machine_keyed_for_cpu_and_unknown():
+    """XLA:CPU AOT executables bake in host-ISA tuning features, so CPU
+    cache entries must never cross machines - including when JAX_PLATFORMS
+    is UNSET (which defaults to CPU on accelerator-less hosts).  Only
+    platforms whose executables come from machine-independent compilers
+    share the top-level dir."""
+    import os
+
+    import chattts_tpu as pkg
+
+    base = os.path.join("some", "base")
+    for plat in ("axon", "tpu", "cuda", "rocm", "gpu", "proxy"):
+        assert pkg._cache_dir_for(plat, base) == base
+    for plat in ("", "cpu"):
+        sub = pkg._cache_dir_for(plat, base)
+        assert sub.startswith(base + os.sep + "cpu-") and sub != base
+    # same machine -> same key (warm cache); the key is content-derived
+    assert pkg._cache_dir_for("cpu", base) == pkg._cache_dir_for("cpu", base)
